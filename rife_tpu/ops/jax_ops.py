@@ -1,0 +1,409 @@
+"""TPU-native (JAX/XLA) implementations of the ncnn layer set used by the zoo.
+
+Everything is NHWC (batch, height, width, channel) — channels ride the TPU
+lane dimension, convolutions lower straight onto the MXU via
+``lax.conv_general_dilated``.  The op table covers the full layer histogram of
+the 29 shipped .param graphs (SURVEY.md §2.3): Convolution, Deconvolution,
+InnerProduct, PReLU, ReLU, Sigmoid, Clip, Pooling(global-avg), Interp,
+Concat, Crop, Slice, Split, BinaryOp, UnaryOp, Eltwise, PixelShuffle and the
+custom ``rife.Warp``.
+
+Reference semantics cross-checked against:
+* warp:      /root/reference/src/warp.comp:42-63 (clamp corners, then lerp)
+* resize:    ncnn Interp bilinear, align_corners=False half-pixel, no AA
+* deconv:    ncnn Deconvolution == torch ConvTranspose2d (IOHW weights)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..graph.ir import LayerNode
+from ..graph.weights import LayerWeights
+from . import common as C
+
+DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+# ---------------------------------------------------------------------------
+# functional primitives
+# ---------------------------------------------------------------------------
+
+def _conv_precision(x):
+    # f32 activations ask for true-f32 MXU passes; bf16 runs native.
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
+def conv2d(x, w_hwio, bias, *, stride=1, pad=0, dilation=1, accum_dtype=jnp.float32):
+    """NHWC conv. ``w_hwio`` is (kh, kw, in, out)."""
+    y = lax.conv_general_dilated(
+        x,
+        w_hwio.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=DIMSPEC,
+        preferred_element_type=accum_dtype,
+        precision=_conv_precision(x),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def deconv2d(x, w_hwio_flipped, bias, *, stride=2, pad=1, accum_dtype=jnp.float32):
+    """NHWC transposed conv (torch ConvTranspose2d semantics).
+
+    ``w_hwio_flipped`` is the ConvTranspose kernel already spatially flipped
+    and laid out (kh, kw, in, out); the op is then an input-dilated conv with
+    padding k-1-p. Output size = (in-1)*stride - 2*pad + k.
+    """
+    k = w_hwio_flipped.shape[0]
+    eff = k - 1 - pad
+    y = lax.conv_general_dilated(
+        x,
+        w_hwio_flipped.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(eff, eff), (eff, eff)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=DIMSPEC,
+        preferred_element_type=accum_dtype,
+        precision=_conv_precision(x),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def resize2d(x, out_h, out_w, method="bilinear"):
+    """Half-pixel (align_corners=False), no anti-aliasing — ncnn/torch parity."""
+    b, h, w, c = x.shape
+    if (out_h, out_w) == (h, w):
+        return x
+    mth = "linear" if method == "bilinear" else method
+    return jax.image.resize(x, (b, out_h, out_w, c), method=mth, antialias=False)
+
+
+def warp(image, flow):
+    """Backward bilinear warp, bit-faithful to /root/reference/src/warp.comp.
+
+    image: (B,H,W,C); flow: (B,H,W,2) with channels (flow_x, flow_y).
+    Sample position = pixel + flow; corner indices are clamped to the image
+    *before* the fractions are taken (shader lines 42-55), which collapses to
+    edge-replicate sampling.
+    """
+    b, h, w, c = image.shape
+    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = gx[None] + flow[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    # fractions relative to the *clamped* corner, as the shader computes them
+    alpha = (sx - x0.astype(jnp.float32)).astype(image.dtype)[..., None]
+    beta = (sy - y0.astype(jnp.float32)).astype(image.dtype)[..., None]
+
+    flat = image.reshape(b, h * w, c)
+    bidx = lax.broadcasted_iota(jnp.int32, (b, h, w), 0)
+
+    def gather(yy, xx):
+        idx = yy * w + xx
+        return jnp.take_along_axis(
+            flat, idx.reshape(b, h * w, 1), axis=1
+        ).reshape(b, h, w, c)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    del bidx
+    top = v00 * (1 - alpha) + v01 * alpha
+    bot = v10 * (1 - alpha) + v11 * alpha
+    return top * (1 - beta) + bot * beta
+
+
+def pixel_shuffle(x, r):
+    """torch.pixel_shuffle semantics in NHWC: C = c*r^2 + i*r + j."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c)
+
+
+def apply_activation(x, act, params):
+    if act == C.ACT_NONE:
+        return x
+    if act == C.ACT_RELU:
+        return jnp.maximum(x, 0)
+    if act == C.ACT_LEAKY:
+        slope = jnp.asarray(params[0], dtype=x.dtype)
+        return jnp.where(x >= 0, x, x * slope)
+    if act == C.ACT_CLIP:
+        return jnp.clip(x, params[0], params[1])
+    if act == C.ACT_SIGMOID:
+        return jax.nn.sigmoid(x)
+    raise NotImplementedError(f"activation {act}")
+
+
+def _broadcast_pair(a, b):
+    """ncnn-style broadcast between (B,C) vectors and (B,H,W,C) maps."""
+    if a.ndim == b.ndim:
+        return a, b
+    if a.ndim == 2 and b.ndim == 4:
+        return a[:, None, None, :], b
+    if a.ndim == 4 and b.ndim == 2:
+        return a, b[:, None, None, :]
+    raise ValueError(f"cannot broadcast ranks {a.ndim} vs {b.ndim}")
+
+
+def binary_op(op, a, b):
+    if hasattr(b, "ndim") and b.ndim > 0:
+        a, b = _broadcast_pair(a, b)
+    if op == C.BINARY_ADD:
+        return a + b
+    if op == C.BINARY_SUB:
+        return a - b
+    if op == C.BINARY_MUL:
+        return a * b
+    if op == C.BINARY_DIV:
+        return a / b
+    if op == C.BINARY_MAX:
+        return jnp.maximum(a, b)
+    if op == C.BINARY_MIN:
+        return jnp.minimum(a, b)
+    if op == C.BINARY_POW:
+        return jnp.power(a, b)
+    if op == C.BINARY_RSUB:
+        return b - a
+    if op == C.BINARY_RDIV:
+        return b / a
+    raise NotImplementedError(f"binary op {op}")
+
+
+_UNARY = {
+    C.UNARY_ABS: jnp.abs,
+    C.UNARY_NEG: jnp.negative,
+    C.UNARY_FLOOR: jnp.floor,
+    C.UNARY_CEIL: jnp.ceil,
+    C.UNARY_SQUARE: jnp.square,
+    C.UNARY_SQRT: jnp.sqrt,
+    C.UNARY_RSQRT: lax.rsqrt,
+    C.UNARY_EXP: jnp.exp,
+    C.UNARY_LOG: jnp.log,
+    C.UNARY_SIN: jnp.sin,
+    C.UNARY_COS: jnp.cos,
+    C.UNARY_TAN: jnp.tan,
+}
+
+
+# ---------------------------------------------------------------------------
+# layer table (executor-facing)
+# ---------------------------------------------------------------------------
+
+def _op_convolution(node, inputs, w: LayerWeights, ctx):
+    _, k, dilation, stride, pad, _ = C.conv_hyperparams(node)
+    y = conv2d(
+        inputs[0], ctx["w"][node.name]["hwio"], ctx["w"][node.name]["bias"],
+        stride=stride, pad=pad, dilation=dilation,
+    )
+    act, params = C.activation_of(node)
+    return [apply_activation(y, act, params)]
+
+
+def _op_deconvolution(node, inputs, w, ctx):
+    _, k, _, stride, pad, _ = C.conv_hyperparams(node)
+    y = deconv2d(
+        inputs[0], ctx["w"][node.name]["hwio"], ctx["w"][node.name]["bias"],
+        stride=stride, pad=pad,
+    )
+    act, params = C.activation_of(node)
+    return [apply_activation(y, act, params)]
+
+
+def _op_innerproduct(node, inputs, w, ctx):
+    x = inputs[0]  # (B, C)
+    wt = ctx["w"][node.name]["dense"]  # (in, out)
+    y = jnp.dot(
+        x, wt.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+        precision=_conv_precision(x),
+    )
+    y = y.astype(x.dtype)
+    b = ctx["w"][node.name]["bias"]
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    act, params = C.activation_of(node)
+    return [apply_activation(y, act, params)]
+
+
+def _op_prelu(node, inputs, w, ctx):
+    x = inputs[0]
+    slope = ctx["w"][node.name]["slope"].astype(x.dtype)
+    return [jnp.where(x >= 0, x, x * slope)]
+
+
+def _op_relu(node, inputs, w, ctx):
+    x = inputs[0]
+    slope = float(node.p(0, 0.0))
+    if slope == 0.0:
+        return [jnp.maximum(x, 0)]
+    return [jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))]
+
+
+def _op_sigmoid(node, inputs, w, ctx):
+    return [jax.nn.sigmoid(inputs[0])]
+
+
+def _op_clip(node, inputs, w, ctx):
+    return [jnp.clip(inputs[0], float(node.p(0)), float(node.p(1)))]
+
+
+def _op_pooling(node, inputs, w, ctx):
+    if int(node.p(4, 0)) != 1 or int(node.p(0, 0)) != 1:
+        raise NotImplementedError("only global average pooling is used by the zoo")
+    return [jnp.mean(inputs[0], axis=(1, 2))]  # (B,C)
+
+
+def _op_interp(node, inputs, w, ctx):
+    x = inputs[0]
+    rtype, oh, ow = C.interp_out_size(x.shape[1], x.shape[2], node)
+    method = {1: "nearest", 2: "bilinear"}[rtype]
+    return [resize2d(x, oh, ow, method)]
+
+
+def _op_concat(node, inputs, w, ctx):
+    axis = C.chw_axis_to_nhwc(int(node.p(0, 0)), inputs[0].ndim)
+    return [jnp.concatenate(inputs, axis=axis)]
+
+
+def _op_crop(node, inputs, w, ctx):
+    x = inputs[0]
+    for axis, start, end in C.crop_slices(node, x.ndim):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, end)
+        x = x[tuple(idx)]
+    return [x]
+
+
+def _op_slice(node, inputs, w, ctx):
+    x = inputs[0]
+    axis = C.chw_axis_to_nhwc(int(node.p(1, 0)), x.ndim)
+    sizes = C.slice_sizes(node, x.shape[axis], len(node.tops))
+    outs = []
+    offset = 0
+    for s in sizes:
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(offset, offset + s)
+        outs.append(x[tuple(idx)])
+        offset += s
+    return outs
+
+
+def _op_split(node, inputs, w, ctx):
+    return [inputs[0]] * len(node.tops)
+
+
+def _op_binaryop(node, inputs, w, ctx):
+    op = int(node.p(0, 0))
+    if int(node.p(1, 0)) == 1:
+        b = jnp.asarray(float(node.p(2, 0.0)), dtype=inputs[0].dtype)
+        return [binary_op(op, inputs[0], b)]
+    return [binary_op(op, inputs[0], inputs[1])]
+
+
+def _op_unaryop(node, inputs, w, ctx):
+    return [_UNARY[int(node.p(0, 0))](inputs[0])]
+
+
+def _op_eltwise(node, inputs, w, ctx):
+    if int(node.p(0, 0)) != 1:
+        raise NotImplementedError("only Eltwise SUM is used by the zoo")
+    coeffs = C.eltwise_coeffs(node, len(inputs))
+    acc = inputs[0] * jnp.asarray(coeffs[0], inputs[0].dtype)
+    for x, cf in zip(inputs[1:], coeffs[1:]):
+        acc = acc + x * jnp.asarray(cf, x.dtype)
+    return [acc]
+
+
+def _op_pixelshuffle(node, inputs, w, ctx):
+    return [pixel_shuffle(inputs[0], int(node.p(0, 1)))]
+
+
+def _op_warp(node, inputs, w, ctx):
+    return [warp(inputs[0], inputs[1])]
+
+
+OP_TABLE = {
+    "Convolution": _op_convolution,
+    "Deconvolution": _op_deconvolution,
+    "InnerProduct": _op_innerproduct,
+    "PReLU": _op_prelu,
+    "ReLU": _op_relu,
+    "Sigmoid": _op_sigmoid,
+    "Clip": _op_clip,
+    "Pooling": _op_pooling,
+    "Interp": _op_interp,
+    "Concat": _op_concat,
+    "Crop": _op_crop,
+    "Slice": _op_slice,
+    "Split": _op_split,
+    "BinaryOp": _op_binaryop,
+    "UnaryOp": _op_unaryop,
+    "Eltwise": _op_eltwise,
+    "PixelShuffle": _op_pixelshuffle,
+    "rife.Warp": _op_warp,
+}
+
+
+# ---------------------------------------------------------------------------
+# weight pytree preparation (layout transforms done once, outside jit)
+# ---------------------------------------------------------------------------
+
+def prepare_weights(
+    graph, raw: Dict[str, LayerWeights], dtype=jnp.float32
+) -> Dict[str, Dict[str, Optional[jnp.ndarray]]]:
+    """Convert ncnn-layout numpy arrays to TPU-friendly layouts.
+
+    Convolution (O,I,kh,kw) -> HWIO; Deconvolution (I,O,kh,kw) -> spatially
+    flipped HWIO (ready for the lhs-dilated conv in :func:`deconv2d`);
+    InnerProduct (O,I) -> (I,O).
+    """
+    out: Dict[str, Dict[str, Optional[jnp.ndarray]]] = {}
+    for node in graph.nodes:
+        lw = raw.get(node.name)
+        if lw is None:
+            continue
+        entry: Dict[str, Optional[jnp.ndarray]] = {}
+        if node.type == "Convolution":
+            entry["hwio"] = jnp.asarray(
+                lw.weight.transpose(2, 3, 1, 0), dtype=dtype
+            )
+            entry["bias"] = (
+                None if lw.bias is None else jnp.asarray(lw.bias, dtype=jnp.float32)
+            )
+        elif node.type == "Deconvolution":
+            w = lw.weight[:, :, ::-1, ::-1]  # flip spatial taps
+            entry["hwio"] = jnp.asarray(w.transpose(2, 3, 0, 1), dtype=dtype)
+            entry["bias"] = (
+                None if lw.bias is None else jnp.asarray(lw.bias, dtype=jnp.float32)
+            )
+        elif node.type == "InnerProduct":
+            entry["dense"] = jnp.asarray(lw.weight.T, dtype=dtype)
+            entry["bias"] = (
+                None if lw.bias is None else jnp.asarray(lw.bias, dtype=jnp.float32)
+            )
+        elif node.type == "PReLU":
+            entry["slope"] = jnp.asarray(lw.slope, dtype=jnp.float32)
+        out[node.name] = entry
+    return out
