@@ -1,0 +1,151 @@
+"""RIFE session — the engine object (reference: class RIFE,
+/root/reference/src/rife.h:11-52).
+
+One session owns a loaded model (graphs + weights on device) and a cache of
+jitted end-to-end step functions keyed by static shape.  The hot path is
+``process_batch``: a batch of frame pairs goes in as uint8, one fused XLA
+program runs the whole pipeline on device (preproc -> nets -> TTA -> postproc),
+and uint8 frames come out — no host round-trips mid-frame, mirroring the
+reference's single command buffer per frame (/root/reference/src/rife.cpp:1196).
+
+Differences from the reference, by TPU design:
+* batching across frame pairs is first-class (replaces `-j` proc threads);
+* ``timestep`` is a traced argument, so sweeping `-s` values never recompiles;
+* devices are selected via jax; multi-chip scaling lives in
+  ``rife_tpu.parallel`` (data-parallel sharding of the batch axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.executor import Executor
+from ..models.zoo import LoadedModel, load_model
+from ..ops import jax_ops, numpy_ref
+from . import pipelines
+from .pipelines import PipelineConfig
+
+PAD_ALIGN = 32  # reference pads frames to 32px multiples (rife.cpp:424-425)
+
+
+def pad_to(v: int, align: int = PAD_ALIGN) -> int:
+    return (v + align - 1) // align * align
+
+
+class RIFE:
+    """Frame-interpolation session.
+
+    Parameters mirror the reference ctor (gpuid is replaced by ``device``):
+    ``tta_mode`` (-x), ``tta_temporal_mode`` (-z), ``uhd_mode`` (-u).
+    """
+
+    def __init__(
+        self,
+        model: str = "rife-v2.3",
+        *,
+        tta_mode: bool = False,
+        tta_temporal_mode: bool = False,
+        uhd_mode: bool = False,
+        dtype: str = "float32",
+        device: Optional[jax.Device] = None,
+        model_root=None,
+    ):
+        self.model: LoadedModel = load_model(model, model_root)
+        self.cfg = PipelineConfig(
+            family=self.model.family,
+            tta_mode=tta_mode,
+            tta_temporal_mode=tta_temporal_mode,
+            uhd_mode=False if self.model.family == "v4" else uhd_mode,
+            dtype=dtype,
+        )
+        self.device = device or jax.devices()[0]
+        wdtype = self.cfg.jdtype
+        # Pallas warp kernel only lowers on real TPUs (Mosaic dynamic_gather)
+        use_pallas = self.device.platform == "tpu"
+        self.executors: Dict[str, Executor] = {}
+        weights = {}
+        for name, net in self.model.nets.items():
+            self.executors[name] = Executor(
+                net.graph, jax_ops.OP_TABLE, net.weights,
+                ctx={"use_pallas_warp": use_pallas},
+            )
+            weights[name] = jax_ops.prepare_weights(net.graph, net.weights, wdtype)
+        self.weights = jax.device_put(weights, self.device)
+        self._step_cache: Dict[Tuple, callable] = {}
+
+    # -- jitted step construction ------------------------------------------
+
+    def build_step_fn(self, pad_h: int, pad_w: int):
+        """The raw (unjitted) end-to-end step ``(W, in0, in1, t) -> u8``;
+        sharded wrappers in ``rife_tpu.parallel`` re-jit this with mesh
+        shardings."""
+        cfg = self.cfg
+        nets = self.executors
+
+        if cfg.family == "v4":
+            def step(W, in0, in1, timestep):
+                return pipelines.forward_v4(
+                    nets, cfg, W, in0, in1, timestep, pad_h, pad_w
+                )
+        else:
+            def step(W, in0, in1, timestep):
+                del timestep  # v1/v2 interpolate the midpoint only
+                return pipelines.forward_v1v2(nets, cfg, W, in0, in1, pad_h, pad_w)
+
+        return step
+
+    def _get_step(self, b: int, h: int, w: int):
+        key = (b, pad_to(h), pad_to(w))
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self.build_step_fn(pad_to(h), pad_to(w)))
+            self._step_cache[key] = fn
+        return fn
+
+    # -- public API ---------------------------------------------------------
+
+    def process_batch(
+        self,
+        in0: np.ndarray,
+        in1: np.ndarray,
+        timesteps: np.ndarray,
+    ) -> np.ndarray:
+        """Interpolate a batch: (B,H,W,3) u8 pairs + (B,) timesteps -> u8.
+
+        v1/v2/v3 models only support t=0.5 (validated in the CLI, as in the
+        reference, main.cpp:670-674); the value is ignored here for those.
+        """
+        if in0.shape != in1.shape:
+            raise ValueError(f"frame shape mismatch: {in0.shape} vs {in1.shape}")
+        b, h, w, _ = in0.shape
+        step = self._get_step(b, h, w)
+        ts = jnp.asarray(np.asarray(timesteps, np.float32).reshape(b))
+        out = step(
+            self.weights,
+            jax.device_put(jnp.asarray(in0), self.device),
+            jax.device_put(jnp.asarray(in1), self.device),
+            ts,
+        )
+        return np.asarray(out)
+
+    def process(self, in0: np.ndarray, in1: np.ndarray, timestep: float = 0.5) -> np.ndarray:
+        """Single pair, (H,W,3) u8 -> (H,W,3) u8.  t==0/1 short-circuit on
+        host exactly as the reference does (rife.cpp:395-405)."""
+        if timestep == 0.0:
+            return in0.copy()
+        if timestep == 1.0:
+            return in1.copy()
+        out = self.process_batch(
+            in0[None], in1[None], np.asarray([timestep], np.float32)
+        )
+        return out[0]
+
+    # -- introspection -------------------------------------------------------
+
+    def compiled_shapes(self):
+        return sorted(self._step_cache.keys())

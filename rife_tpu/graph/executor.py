@@ -39,7 +39,12 @@ class Executor:
         self,
         inputs: Mapping[str, Any],
         outputs: Sequence[str],
+        ctx: Dict[str, Any] | None = None,
     ) -> List[Any]:
+        """Execute; ``ctx`` entries override the constructor context (lets
+        jitted callers pass the prepared weight pytree as a traced argument
+        instead of baking it into the program as constants)."""
+        ctx = {**self.ctx, **ctx} if ctx else self.ctx
         blobs: Dict[str, Any] = dict(inputs)
         needed = self.graph.required_nodes(outputs, list(inputs.keys()))
         for idx in needed:
@@ -55,7 +60,7 @@ class Executor:
             if fn is None:
                 raise NotImplementedError(f"layer type {node.type!r}")
             ins = [blobs[b] for b in node.bottoms]
-            outs = fn(node, ins, self.raw_weights.get(node.name), self.ctx)
+            outs = fn(node, ins, self.raw_weights.get(node.name), ctx)
             if len(outs) != len(node.tops):
                 raise RuntimeError(
                     f"{node.type} {node.name}: produced {len(outs)} outputs, "

@@ -135,6 +135,25 @@ def _seed_for(tag: str) -> int:
     return int.from_bytes(hashlib.sha256(tag.encode()).digest()[:4], "little")
 
 
+# Global weight multipliers for synthetic flownets, calibrated so the final
+# flow magnitude is a realistic ~10 px (raw He-init explodes ~15x per pyramid
+# level through the residual trunks, ending at ~3e4 px "flows").  Produced by
+# ``python -m rife_tpu.models.calibrate``.
+SYNTHETIC_FLOWNET_SCALE = {
+    "rife": 1.1073, "rife-HD": 1.0225, "rife-UHD": 1.0765,
+    "rife-anime": 1.1083, "rife-v2": 1.1893, "rife-v2.3": 1.1913,
+    "rife-v2.4": 1.1972, "rife-v3.0": 0.972, "rife-v3.1": 0.9809,
+    "rife-v4": 1.0553, "rife-v4.6": 0.7589,
+}
+
+
+def _weight_scale_for(tag: str) -> float:
+    model, _, net = tag.partition("/")
+    if net == "flownet":
+        return SYNTHETIC_FLOWNET_SCALE.get(model, 1.0)
+    return 1.0
+
+
 def synthesize_weights(graph: Graph, tag: str) -> Dict[str, LayerWeights]:
     """Deterministic He-style random weights for graphs whose .bin is absent
     in this mount (see /root/reference/.MISSING_LARGE_BLOBS).
@@ -143,12 +162,13 @@ def synthesize_weights(graph: Graph, tag: str) -> Dict[str, LayerWeights]:
     the stack is oblivious to whether weights are real or synthetic.
     """
     out: Dict[str, LayerWeights] = {}
+    wscale = _weight_scale_for(tag)
     for node in graph.nodes:
         rng = np.random.default_rng(_seed_for(f"{tag}:{node.name}"))
         if node.type in ("Convolution", "Deconvolution"):
             out_ch, in_ch, k = _conv_shapes(node)
             fan_in = in_ch * k * k
-            std = float(np.sqrt(2.0 / fan_in))
+            std = float(np.sqrt(2.0 / fan_in)) * wscale
             shape = (
                 (out_ch, in_ch, k, k)
                 if node.type == "Convolution"
@@ -164,7 +184,7 @@ def synthesize_weights(graph: Graph, tag: str) -> Dict[str, LayerWeights]:
         elif node.type == "InnerProduct":
             out_f = int(node.p(0))
             in_f = int(node.p(2)) // out_f
-            std = float(np.sqrt(2.0 / in_f))
+            std = float(np.sqrt(2.0 / in_f)) * wscale
             w = rng.normal(0.0, std, size=(out_f, in_f)).astype(np.float32)
             b = np.zeros(out_f, dtype=np.float32) if int(node.p(1)) == 1 else None
             out[node.name] = LayerWeights(weight=w, bias=b)

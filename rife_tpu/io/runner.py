@@ -1,0 +1,204 @@
+"""Three-stage load -> proc -> save pipeline runtime.
+
+The reference runs this as producer/consumer threads over two bounded
+queues with a poison-pill shutdown (/root/reference/src/main.cpp:231-436).
+The TPU-native version keeps the same topology — decode pool, device stage,
+encode pool, bounded queues of depth 8 — but the device stage packs tasks
+into fixed-size batches per static shape, because on TPU throughput comes
+from the batch axis, not from concurrent single-frame submissions.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .image import decode_image, encode_image
+
+QUEUE_DEPTH = 8  # reference uses 8-deep task queues (main.cpp:259)
+
+
+@dataclass
+class Task:
+    id: int
+    in0_path: str
+    in1_path: str
+    out_path: str
+    timestep: float
+    in0: Optional[np.ndarray] = None
+    in1: Optional[np.ndarray] = None
+    out: Optional[np.ndarray] = None
+
+
+class _DecodeCache:
+    """Tiny LRU so directory mode doesn't decode every frame twice
+    (each frame is in1 of one task and in0 of the next)."""
+
+    def __init__(self, maxsize: int = 16):
+        self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+        self.maxsize = maxsize
+
+    def get(self, path: str) -> np.ndarray:
+        with self._lock:
+            if path in self._d:
+                self._d.move_to_end(path)
+                return self._d[path]
+        img = decode_image(path)
+        with self._lock:
+            self._d[path] = img
+            if len(self._d) > self.maxsize:
+                self._d.popitem(last=False)
+        return img
+
+
+class PipelineRunner:
+    """Drives tasks through load / proc / save stages.
+
+    ``process_batch(in0, in1, timesteps) -> out`` is the device step (one
+    per device session); multiple sessions consume the same queue — the
+    reference's heterogeneous multi-device work stealing
+    (/root/reference/src/main.cpp:819-866).
+    """
+
+    def __init__(
+        self,
+        process_batches: Sequence[Callable],
+        *,
+        jobs_load: int = 1,
+        jobs_save: int = 2,
+        batch_size: int = 1,
+        verbose: bool = False,
+        on_done: Optional[Callable[[Task], None]] = None,
+    ):
+        self.process_batches = list(process_batches)
+        self.jobs_load = max(1, jobs_load)
+        self.jobs_save = max(1, jobs_save)
+        self.batch_size = max(1, batch_size)
+        self.verbose = verbose
+        self.on_done = on_done
+        self.toproc: "queue.Queue[Optional[Task]]" = queue.Queue(QUEUE_DEPTH)
+        self.tosave: "queue.Queue[Optional[Task]]" = queue.Queue(QUEUE_DEPTH)
+        self.errors: List[str] = []
+        self._err_lock = threading.Lock()
+
+    def _record_error(self, msg: str):
+        with self._err_lock:
+            self.errors.append(msg)
+
+    # -- stages --------------------------------------------------------------
+
+    def _load(self, tasks: Sequence[Task]):
+        cache = _DecodeCache()
+
+        def decode(task: Task) -> Optional[Task]:
+            try:
+                task.in0 = cache.get(task.in0_path)
+                task.in1 = cache.get(task.in1_path)
+                if task.in0.shape != task.in1.shape:
+                    raise ValueError(
+                        f"size mismatch {task.in0.shape} vs {task.in1.shape}"
+                    )
+                return task
+            except Exception as e:  # noqa: BLE001 - stage must not die
+                self._record_error(f"decode {task.in0_path}/{task.in1_path}: {e}")
+                return None
+
+        with ThreadPoolExecutor(self.jobs_load) as pool:
+            for done in pool.map(decode, tasks):
+                if done is not None:
+                    self.toproc.put(done)
+
+    def _proc(self, process_batch: Callable):
+        pending: "OrderedDict[tuple, List[Task]]" = OrderedDict()
+
+        def flush(shape_key):
+            batch = pending.pop(shape_key, None)
+            if not batch:
+                return
+            try:
+                in0 = np.stack([t.in0 for t in batch])
+                in1 = np.stack([t.in1 for t in batch])
+                ts = np.asarray([t.timestep for t in batch], np.float32)
+                outs = process_batch(in0, in1, ts)
+                for t, o in zip(batch, outs):
+                    t.out = o
+                    self.tosave.put(t)
+            except Exception as e:  # noqa: BLE001
+                self._record_error(f"process batch: {e}")
+
+        while True:
+            task = self.toproc.get()
+            if task is None:
+                for key in list(pending.keys()):
+                    flush(key)
+                self.tosave.put(None)
+                return
+            # t==0/1 short-circuit, as the reference engine does
+            # (rife.cpp:395-405) — no device work at all
+            if task.timestep == 0.0:
+                task.out = task.in0
+                self.tosave.put(task)
+                continue
+            if task.timestep == 1.0:
+                task.out = task.in1
+                self.tosave.put(task)
+                continue
+            key = task.in0.shape
+            pending.setdefault(key, []).append(task)
+            if len(pending[key]) >= self.batch_size:
+                flush(key)
+
+    def _save(self):
+        def encode(task: Task):
+            try:
+                encode_image(task.out_path, task.out)
+                if self.verbose:
+                    print(
+                        f"{task.in0_path} {task.in1_path} {task.timestep} "
+                        f"-> {task.out_path} done"
+                    )
+                if self.on_done is not None:
+                    self.on_done(task)
+            except Exception as e:  # noqa: BLE001
+                self._record_error(f"encode {task.out_path}: {e}")
+            finally:
+                task.in0 = task.in1 = task.out = None  # free pixels
+
+        n_procs = len(self.process_batches)
+        finished_procs = 0
+        with ThreadPoolExecutor(self.jobs_save) as pool:
+            while finished_procs < n_procs:
+                task = self.tosave.get()
+                if task is None:
+                    finished_procs += 1
+                    continue
+                pool.submit(encode, task)
+
+    # -- driver ----------------------------------------------------------------
+
+    def run(self, tasks: Sequence[Task]) -> List[str]:
+        """Run all tasks; returns accumulated stage errors (empty = clean)."""
+        loader = threading.Thread(target=self._load, args=(tasks,))
+        procs = [
+            threading.Thread(target=self._proc, args=(fn,))
+            for fn in self.process_batches
+        ]
+        saver = threading.Thread(target=self._save)
+        loader.start()
+        for p in procs:
+            p.start()
+        saver.start()
+        loader.join()
+        for _ in procs:
+            self.toproc.put(None)  # poison pills (reference id==-233)
+        for p in procs:
+            p.join()
+        saver.join()
+        return self.errors

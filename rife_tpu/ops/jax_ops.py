@@ -21,6 +21,7 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..graph.ir import LayerNode
@@ -80,11 +81,70 @@ def deconv2d(x, w_hwio_flipped, bias, *, stride=2, pad=1, accum_dtype=jnp.float3
     return y.astype(x.dtype)
 
 
+def _upsample_axis(x, n: int, axis: int):
+    """Exact half-pixel bilinear x``n`` upsample along ``axis`` via phase
+    decomposition: out[n*m+p] = (1-f_p)*in[m+d_p] + f_p*in[m+d_p+1].  Pure
+    shifts/lerps/interleave — XLA fuses to VPU ops (the general gather-based
+    resize costs ~10ms for a 1080p plane on v5e; this is bandwidth-bound)."""
+    size = x.shape[axis]
+    idx = lambda s: tuple(
+        s if a == axis else slice(None) for a in range(x.ndim)
+    )
+    phases = []
+    for p in range(n):
+        src = (p + 0.5) / n - 0.5
+        d = int(np.floor(src))
+        f = src - d
+        lo = jnp.clip(jnp.arange(size) + d, 0, size - 1)
+        hi = jnp.clip(jnp.arange(size) + d + 1, 0, size - 1)
+        a = jnp.take(x, lo, axis=axis)
+        bb = jnp.take(x, hi, axis=axis)
+        phases.append(a * jnp.asarray(1.0 - f, x.dtype) + bb * jnp.asarray(f, x.dtype))
+    stacked = jnp.stack(phases, axis=axis + 1)  # (..., size, n, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = size * n
+    return stacked.reshape(new_shape)
+
+
+def _downsample_axis(x, n: int, axis: int):
+    """Exact half-pixel bilinear 1/``n`` downsample (even n): the source
+    coordinate (m+0.5)*n-0.5 always lands halfway between two taps."""
+    assert n % 2 == 0
+    size = x.shape[axis]
+
+    def take(start):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(start, size, n)
+        return x[tuple(sl)]
+
+    half = jnp.asarray(0.5, x.dtype)
+    return take(n // 2 - 1) * half + take(n // 2) * half
+
+
 def resize2d(x, out_h, out_w, method="bilinear"):
-    """Half-pixel (align_corners=False), no anti-aliasing — ncnn/torch parity."""
+    """Half-pixel (align_corners=False), no anti-aliasing — ncnn/torch parity.
+
+    Integer and 1/even-integer scale factors (the only ones in the model zoo:
+    16, 8, 4, 2, 1/2, 1/4, 1/8) take an exact phase-decomposed VPU path; any
+    other ratio falls back to jax.image.resize."""
     b, h, w, c = x.shape
     if (out_h, out_w) == (h, w):
         return x
+    if method == "bilinear":
+        y = x
+        ok = True
+        for axis, (src, dst) in ((1, (h, out_h)), (2, (w, out_w))):
+            if dst == src:
+                continue
+            if dst % src == 0:
+                y = _upsample_axis(y, dst // src, axis)
+            elif src % dst == 0 and (src // dst) % 2 == 0:
+                y = _downsample_axis(y, src // dst, axis)
+            else:
+                ok = False
+                break
+        if ok:
+            return y
     mth = "linear" if method == "bilinear" else method
     return jax.image.resize(x, (b, out_h, out_w, c), method=mth, antialias=False)
 
@@ -341,7 +401,13 @@ def _op_pixelshuffle(node, inputs, w, ctx):
 
 
 def _op_warp(node, inputs, w, ctx):
-    return [warp(inputs[0], inputs[1])]
+    image, flow = inputs[0], inputs[1]
+    if ctx.get("use_pallas_warp"):
+        from .warp_pallas import fits_vmem, warp_pallas
+
+        if fits_vmem(image.shape[1], image.shape[2]):
+            return [warp_pallas(image, flow)]
+    return [warp(image, flow)]
 
 
 OP_TABLE = {

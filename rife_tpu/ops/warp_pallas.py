@@ -1,0 +1,195 @@
+"""Pallas TPU kernel for backward bilinear warp.
+
+Why: XLA lowers the per-pixel 2D gather to near-scalar loads — one 1080p
+3-channel warp costs ~300 ms on v5e and warps are ~88% of the whole RIFE
+forward (measured by ablation).  Mosaic's fast primitive is
+``jnp.take_along_axis`` along the 128-lane dimension *within one lane tile*;
+an arbitrary 2D per-pixel gather cannot be composed from two 1D per-element
+gathers (the second stage would read index fields evaluated at the wrong
+coordinate), so this kernel keeps the 2D gather whole:
+
+For each output stripe (8 rows x 128 lanes) it walks the *dynamic* source
+row-band range [min(y0)//8, max(y1)//8] and source lane-tile range
+[min(x0)//128, max(x1)//128] actually referenced by the stripe (sublane loads
+must be 8-aligned, hence bands).  For each (band, tile) it lane-gathers the
+two needed columns from each of the 8 band rows and accumulates the four
+bilinear corners via one-hot row matching:
+
+    out += g(x0) * [(y0==r)·w00 + (y1==r)·w10]   (x0 within tile t)
+    out += g(x1) * [(y0==r)·w01 + (y1==r)·w11]   (x1 within tile t)
+
+Cost adapts to flow magnitude — measured on v5e at 1080p 3ch: ~4 ms for
+near-zero flow, ~12 ms at ±30 px smooth flow, ~25 ms for adversarial iid
+noise (vs ~300 ms for the XLA gather).  Arbitrary flows stay exact.
+
+Index/fraction algebra is bit-identical to ``jax_ops.warp`` / the reference
+shader (clamped corners, fractions from clamped corners —
+/root/reference/src/warp.comp:42-63); indices are precomputed as cheap XLA
+elementwise ops (computing them in-kernel stalls the Mosaic compiler).
+Out-of-range fractions are clamped to [0,1]: both corners coincide there, so
+the value is unchanged but the shader's catastrophic (1-a)v + av cancellation
+for |a|>>1 is avoided.
+
+The image plane rides whole in VMEM per (batch*channel) grid step, so this
+path is used when Hp*Wp*4B fits (~1080p and below); callers fall back to the
+XLA gather for larger frames (UHD mode estimates flow at 0.5x anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+TH = 8  # output stripe height == sublane tile == row-band height
+
+# VMEM budget for the resident image plane (f32 bytes)
+_VMEM_IMAGE_LIMIT = 9 * 1024 * 1024
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _warp_kernel(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
+                 o_ref, img_ref, sem, *, nt_w: int):
+    # stage the full image plane into single-buffered VMEM scratch once per
+    # (batch*channel) plane (letting Pallas block it would double-buffer
+    # ~8.4MB and blow the 16MB VMEM budget inside larger programs)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            img_hbm.at[pl.program_id(0)], img_ref, sem
+        )
+        cp.start()
+        cp.wait()
+
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        y1 = y1_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        x1 = x1_ref[0, :, sl]
+        alpha = a_ref[0, :, sl]
+        beta = b_ref[0, :, sl]
+        w00 = (1.0 - alpha) * (1.0 - beta)
+        w01 = alpha * (1.0 - beta)
+        w10 = (1.0 - alpha) * beta
+        w11 = alpha * beta
+
+        band_lo = jnp.min(y0) // TH
+        band_hi = jnp.max(y1) // TH
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+
+        def band_body(band, acc):
+            def tile_body(t, acc):
+                chunk = img_ref[
+                    pl.ds(pl.multiple_of(band * TH, TH), TH),
+                    pl.ds(t * LANE, LANE),
+                ]
+                lx0 = x0 - t * LANE
+                lx1 = x1 - t * LANE
+                ok0 = (lx0 >= 0) & (lx0 < LANE)
+                ok1 = (lx1 >= 0) & (lx1 < LANE)
+                lx0c = jnp.clip(lx0, 0, LANE - 1)
+                lx1c = jnp.clip(lx1, 0, LANE - 1)
+                zero = jnp.zeros_like(w00)
+                for k in range(TH):
+                    r = band * TH + k
+                    m_y0 = (y0 == r)
+                    m_y1 = (y1 == r)
+                    tile = jnp.broadcast_to(chunk[k : k + 1, :], (TH, LANE))
+                    g0 = jnp.take_along_axis(tile, lx0c, axis=1)
+                    g1 = jnp.take_along_axis(tile, lx1c, axis=1)
+                    acc = acc + g0 * (
+                        jnp.where(m_y0 & ok0, w00, zero)
+                        + jnp.where(m_y1 & ok0, w10, zero)
+                    )
+                    acc = acc + g1 * (
+                        jnp.where(m_y0 & ok1, w01, zero)
+                        + jnp.where(m_y1 & ok1, w11, zero)
+                    )
+                return acc
+
+            return lax.fori_loop(t_lo, t_hi + 1, tile_body, acc)
+
+        acc = lax.fori_loop(
+            band_lo, band_hi + 1, band_body,
+            jnp.zeros((TH, LANE), jnp.float32),
+        )
+        o_ref[0, :, sl] = acc
+
+
+def _warp_pallas_impl(image, flow):
+    b, h, w, c = image.shape
+    out_dtype = image.dtype
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)
+    nt_w = wp // LANE
+
+    # exact shader index/fraction algebra (cheap XLA elementwise)
+    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = gx[None] + flow[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    # For out-of-range samples both corners clamp to the same pixel, so the
+    # fraction cancels mathematically; clamping avoids the catastrophic
+    # (1-a)*v + a*v cancellation the shader formula incurs for huge |a|.
+    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+
+    def pad2(x, val=0):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            constant_values=val,
+        )
+
+    img = pad2(
+        jnp.transpose(image.astype(jnp.float32), (0, 3, 1, 2)).reshape(
+            b * c, h, w
+        )
+    )
+    operands = [pad2(v) for v in (y0, y1, x0, x1, alpha, beta)]
+
+    grid = (b * c, hp // TH)
+    img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    stripe = lambda i, j: (i // c, j, 0)  # noqa: E731 - flow shared over C
+    idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel, nt_w=nt_w),
+        grid=grid,
+        in_specs=[img_spec] + [idx_spec] * 6,
+        out_specs=pl.BlockSpec(
+            (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * c, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(img, *operands)
+
+    out = out[:, :h, :w].reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    return out.astype(out_dtype)
+
+
+def fits_vmem(h: int, w: int) -> bool:
+    return _round_up(h, TH) * _round_up(w, LANE) * 4 <= _VMEM_IMAGE_LIMIT
+
+
+@jax.jit
+def warp_pallas(image, flow):
+    """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact."""
+    return _warp_pallas_impl(image, flow)
