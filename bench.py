@@ -2,13 +2,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measures the fused device step (u8 frames in HBM -> u8 frame in HBM; preproc,
+flownet pyramid, warps, fusion, postproc all in one XLA program) with inputs
+pre-staged on device, synced per step via a tiny readback.  Host<->device
+transfer is excluded: in this dev environment the chip sits behind a network
+tunnel (~0.7 GB/s, ~30 ms RTT) that is not TPU hardware I/O, and the
+production pipeline (rife_tpu/io/runner.py) overlaps transfers with compute.
+
 Baseline note (BASELINE.md): the reference publishes no numbers and cannot
-run in this environment (no Vulkan device, ncnn submodule absent).  The
-baseline constant below is the documented estimate of the reference's
-single-GPU 1080p throughput: the upstream RIFE paper reports ~30 FPS for
-2x 720p on an RTX 2080 Ti; scaled by pixel count to 1080p that is
-30 * (1280*720)/(1920*1080) = 13.3 FPS.  The driver target (>=4x on a
-v5e-4) therefore corresponds to vs_baseline >= 1.0 per chip.
+run here (no Vulkan device, ncnn submodule absent).  The constant below is
+the documented estimate of the reference's single-GPU 1080p throughput: the
+upstream RIFE paper reports ~30 FPS for 2x 720p on an RTX 2080 Ti; scaled by
+pixel count to 1080p that is 30 * (1280*720)/(1920*1080) = 13.3 FPS.  The
+driver target (>=4x on a v5e-4) corresponds to vs_baseline >= 1.0 per chip.
+
+Weights are synthetic (no flownet.bin ships in this mount), calibrated to
+realistic ~10 px flows (rife_tpu/models/calibrate.py) so the flow-adaptive
+warp kernel sees representative work.
 """
 
 from __future__ import annotations
@@ -23,38 +33,46 @@ BASELINE_1080P_FPS = 13.3  # estimated reference single-GPU fps (see above)
 H, W = 1080, 1920
 
 
-def run(batch: int = 8, iters: int = 8, warmup: int = 2, dtype: str = "bfloat16"):
+def measure(batch: int, iters: int, dtype: str = "bfloat16") -> float:
     import jax
+    import jax.numpy as jnp
 
     from rife_tpu.engine.session import RIFE
 
     session = RIFE("rife-v4.6", dtype=dtype)
     rng = np.random.default_rng(0)
-    in0 = rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)
-    in1 = rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)
-    ts = np.full((batch,), 0.5, np.float32)
+    step = session._get_step(batch, H, W)
+    d0 = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)),
+        session.device,
+    )
+    d1 = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)),
+        session.device,
+    )
+    ts = jax.device_put(jnp.full((batch,), 0.5, jnp.float32), session.device)
 
-    # compile + warm
-    for _ in range(warmup):
-        out = session.process_batch(in0, in1, ts)
+    def sync(x):  # block_until_ready is unreliable through the dev tunnel
+        return np.asarray(x[0, 0, 0, 0])
+
+    out = step(session.weights, d0, d1, ts)
+    sync(out)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = session.process_batch(in0, in1, ts)
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
-    assert out.shape == (batch, H, W, 3)
-    return fps
+        out = step(session.weights, d0, d1, ts)
+        sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 def main():
     import jax
 
     platform = jax.devices()[0].platform
-    # fall back to a tiny config if we're not on an accelerator (CI/CPU)
-    if platform in ("cpu",):
-        fps = run(batch=1, iters=1, warmup=1)
+    if platform == "cpu":  # CI fallback: tiny config so the line still prints
+        fps = measure(batch=1, iters=1)
     else:
-        fps = run()
+        fps = measure(batch=4, iters=6)
     print(
         json.dumps(
             {

@@ -140,10 +140,10 @@ def _seed_for(tag: str) -> int:
 # level through the residual trunks, ending at ~3e4 px "flows").  Produced by
 # ``python -m rife_tpu.models.calibrate``.
 SYNTHETIC_FLOWNET_SCALE = {
-    "rife": 1.1073, "rife-HD": 1.0225, "rife-UHD": 1.0765,
-    "rife-anime": 1.1083, "rife-v2": 1.1893, "rife-v2.3": 1.1913,
-    "rife-v2.4": 1.1972, "rife-v3.0": 0.972, "rife-v3.1": 0.9809,
-    "rife-v4": 1.0553, "rife-v4.6": 0.7589,
+    "rife": 1.0657, "rife-HD": 0.9277, "rife-UHD": 1.0055,
+    "rife-anime": 1.0283, "rife-v2": 1.1191, "rife-v2.3": 1.1117,
+    "rife-v2.4": 1.1164, "rife-v3.0": 0.9184, "rife-v3.1": 0.9208,
+    "rife-v4": 0.9964, "rife-v4.6": 0.6954,
 }
 
 

@@ -12,16 +12,40 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
 from .image import decode_image, encode_image
 
 QUEUE_DEPTH = 8  # reference uses 8-deep task queues (main.cpp:259)
+
+
+class StageMetrics:
+    """Per-stage counters + wall time (the reference has no observability at
+    all, SURVEY.md §5; production serving needs at least this much)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.counts: Dict[str, int] = {}
+        self.seconds: Dict[str, float] = {}
+
+    def add(self, stage: str, seconds: float, n: int = 1):
+        with self._lock:
+            self.counts[stage] = self.counts.get(stage, 0) + n
+            self.seconds[stage] = self.seconds.get(stage, 0.0) + seconds
+
+    def summary(self) -> str:
+        parts = []
+        for stage in sorted(self.counts):
+            n, s = self.counts[stage], self.seconds[stage]
+            rate = n / s if s > 0 else float("inf")
+            parts.append(f"{stage}: {n} in {s:.2f}s ({rate:.1f}/s)")
+        return "; ".join(parts)
 
 
 @dataclass
@@ -87,6 +111,7 @@ class PipelineRunner:
         self.tosave: "queue.Queue[Optional[Task]]" = queue.Queue(QUEUE_DEPTH)
         self.errors: List[str] = []
         self._err_lock = threading.Lock()
+        self.metrics = StageMetrics()
 
     def _record_error(self, msg: str):
         with self._err_lock:
@@ -98,6 +123,7 @@ class PipelineRunner:
         cache = _DecodeCache()
 
         def decode(task: Task) -> Optional[Task]:
+            t0 = time.perf_counter()
             try:
                 task.in0 = cache.get(task.in0_path)
                 task.in1 = cache.get(task.in1_path)
@@ -105,6 +131,7 @@ class PipelineRunner:
                     raise ValueError(
                         f"size mismatch {task.in0.shape} vs {task.in1.shape}"
                     )
+                self.metrics.add("load", time.perf_counter() - t0)
                 return task
             except Exception as e:  # noqa: BLE001 - stage must not die
                 self._record_error(f"decode {task.in0_path}/{task.in1_path}: {e}")
@@ -123,10 +150,12 @@ class PipelineRunner:
             if not batch:
                 return
             try:
+                t0 = time.perf_counter()
                 in0 = np.stack([t.in0 for t in batch])
                 in1 = np.stack([t.in1 for t in batch])
                 ts = np.asarray([t.timestep for t in batch], np.float32)
                 outs = process_batch(in0, in1, ts)
+                self.metrics.add("proc", time.perf_counter() - t0, len(batch))
                 for t, o in zip(batch, outs):
                     t.out = o
                     self.tosave.put(t)
@@ -157,8 +186,10 @@ class PipelineRunner:
 
     def _save(self):
         def encode(task: Task):
+            t0 = time.perf_counter()
             try:
                 encode_image(task.out_path, task.out)
+                self.metrics.add("save", time.perf_counter() - t0)
                 if self.verbose:
                     print(
                         f"{task.in0_path} {task.in1_path} {task.timestep} "
@@ -201,4 +232,6 @@ class PipelineRunner:
         for p in procs:
             p.join()
         saver.join()
+        if self.verbose:
+            print(f"pipeline: {self.metrics.summary()}")
         return self.errors

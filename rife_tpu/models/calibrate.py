@@ -16,8 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-TARGET_FLOW_STD = 10.0
-TEST_HW = (64, 96)
+TARGET_FLOW_STD = 6.0
+TEST_HW = (128, 224)
 
 
 def _final_flow_std(model_name: str, scale: float) -> float:
