@@ -33,6 +33,25 @@ BASELINE_1080P_FPS = 13.3  # estimated reference single-GPU fps (see above)
 H, W = 1080, 1920
 
 
+def _frames(batch: int):
+    """Real video frames (reference sample pair upscaled to 1080p), not
+    noise: the flow fields of real footage are spatially smooth, which is
+    what the flow-adaptive warp kernel (and any real deployment) sees."""
+    from PIL import Image
+
+    def load(path):
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize((W, H), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)
+
+    f0 = load("/root/reference/images/0.png")
+    f1 = load("/root/reference/images/1.png")
+    return (
+        np.broadcast_to(f0, (batch, H, W, 3)).copy(),
+        np.broadcast_to(f1, (batch, H, W, 3)).copy(),
+    )
+
+
 def measure(batch: int, iters: int, dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
@@ -40,16 +59,10 @@ def measure(batch: int, iters: int, dtype: str = "bfloat16") -> float:
     from rife_tpu.engine.session import RIFE
 
     session = RIFE("rife-v4.6", dtype=dtype)
-    rng = np.random.default_rng(0)
     step = session._get_step(batch, H, W)
-    d0 = jax.device_put(
-        jnp.asarray(rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)),
-        session.device,
-    )
-    d1 = jax.device_put(
-        jnp.asarray(rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)),
-        session.device,
-    )
+    in0, in1 = _frames(batch)
+    d0 = jax.device_put(jnp.asarray(in0), session.device)
+    d1 = jax.device_put(jnp.asarray(in1), session.device)
     ts = jax.device_put(jnp.full((batch,), 0.5, jnp.float32), session.device)
 
     def sync(x):  # block_until_ready is unreliable through the dev tunnel

@@ -185,11 +185,161 @@ def _warp_pallas_impl(image, flow):
     return out.astype(out_dtype)
 
 
+def _warp_kernel_packed(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref,
+                        b_ref, o0_ref, o1_ref, img_ref, sem, *, nt_w: int):
+    """Pair-packed variant: each i32 gather word carries two bf16 channels
+    (low/high 16 bits), halving gather traffic and sharing all mask/weight
+    math between the pair.  bf16 -> f32 unpack is a shift + bitcast (the f32
+    bit pattern of a bf16 is its bits << 16)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cp = pltpu.make_async_copy(img_hbm.at[pl.program_id(0)], img_ref, sem)
+        cp.start()
+        cp.wait()
+
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        y1 = y1_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        x1 = x1_ref[0, :, sl]
+        alpha = a_ref[0, :, sl]
+        beta = b_ref[0, :, sl]
+        w00 = (1.0 - alpha) * (1.0 - beta)
+        w01 = alpha * (1.0 - beta)
+        w10 = (1.0 - alpha) * beta
+        w11 = alpha * beta
+
+        band_lo = jnp.min(y0) // TH
+        band_hi = jnp.max(y1) // TH
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+
+        def unpack(g):
+            v0 = pltpu.bitcast(g << 16, jnp.float32)
+            v1 = pltpu.bitcast(g & jnp.int32(-65536), jnp.float32)
+            return v0, v1
+
+        def band_body(band, accs):
+            def tile_body(t, accs):
+                acc0, acc1 = accs
+                chunk = img_ref[
+                    pl.ds(pl.multiple_of(band * TH, TH), TH),
+                    pl.ds(t * LANE, LANE),
+                ]
+                lx0 = x0 - t * LANE
+                lx1 = x1 - t * LANE
+                ok0 = (lx0 >= 0) & (lx0 < LANE)
+                ok1 = (lx1 >= 0) & (lx1 < LANE)
+                lx0c = jnp.clip(lx0, 0, LANE - 1)
+                lx1c = jnp.clip(lx1, 0, LANE - 1)
+                zero = jnp.zeros_like(w00)
+                for k in range(TH):
+                    r = band * TH + k
+                    m_y0 = (y0 == r)
+                    m_y1 = (y1 == r)
+                    tile = jnp.broadcast_to(chunk[k : k + 1, :], (TH, LANE))
+                    g0 = jnp.take_along_axis(tile, lx0c, axis=1)
+                    g1 = jnp.take_along_axis(tile, lx1c, axis=1)
+                    wg0 = (
+                        jnp.where(m_y0 & ok0, w00, zero)
+                        + jnp.where(m_y1 & ok0, w10, zero)
+                    )
+                    wg1 = (
+                        jnp.where(m_y0 & ok1, w01, zero)
+                        + jnp.where(m_y1 & ok1, w11, zero)
+                    )
+                    a0, b0 = unpack(g0)
+                    a1, b1 = unpack(g1)
+                    acc0 = acc0 + a0 * wg0 + a1 * wg1
+                    acc1 = acc1 + b0 * wg0 + b1 * wg1
+                return (acc0, acc1)
+
+            return lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+        zeros = jnp.zeros((TH, LANE), jnp.float32)
+        acc0, acc1 = lax.fori_loop(
+            band_lo, band_hi + 1, band_body, (zeros, zeros)
+        )
+        o0_ref[0, :, sl] = acc0
+        o1_ref[0, :, sl] = acc1
+
+
+def _warp_pallas_packed_impl(image, flow):
+    """bf16 path: channels packed in pairs into i32 gather words."""
+    b, h, w, c = image.shape
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)
+    nt_w = wp // LANE
+    c2 = (c + 1) // 2
+    if c % 2:
+        image = jnp.concatenate(
+            [image, jnp.zeros_like(image[..., :1])], axis=-1
+        )
+
+    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = gx[None] + flow[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+
+    def pad2(x, val=0):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            constant_values=val,
+        )
+
+    # (B,H,W,C2,2) bf16 -> i32 words; planes (B*C2, Hp, Wp)
+    pairs = image.astype(jnp.bfloat16).reshape(b, h, w, c2, 2)
+    words = lax.bitcast_convert_type(pairs, jnp.int32)
+    words = pad2(words.transpose(0, 3, 1, 2).reshape(b * c2, h, w))
+    operands = [pad2(v) for v in (y0, y1, x0, x1, alpha, beta)]
+
+    grid = (b * c2, hp // TH)
+    img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    stripe = lambda i, j: (i // c2, j, 0)  # noqa: E731
+    idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+
+    out0, out1 = pl.pallas_call(
+        functools.partial(_warp_kernel_packed, nt_w=nt_w),
+        grid=grid,
+        in_specs=[img_spec] + [idx_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * c2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b * c2, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(words, *operands)
+
+    out = jnp.stack([out0, out1], axis=-1)  # (B*C2, Hp, Wp, 2)
+    out = out[:, :h, :w, :].reshape(b, c2, h, w, 2)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, 2 * c2)
+    return out[..., :c].astype(image.dtype)
+
+
 def fits_vmem(h: int, w: int) -> bool:
     return _round_up(h, TH) * _round_up(w, LANE) * 4 <= _VMEM_IMAGE_LIMIT
 
 
 @jax.jit
 def warp_pallas(image, flow):
-    """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact."""
+    """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
+
+    bf16 images take the pair-packed kernel (2 channels per i32 gather);
+    other dtypes use the per-plane f32 kernel."""
+    if image.dtype == jnp.bfloat16:
+        return _warp_pallas_packed_impl(image, flow)
     return _warp_pallas_impl(image, flow)
