@@ -217,6 +217,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         jobs = plan_directory_jobs(
             args.inputpath, args.outputpath, args.numframe, pattern, fmt
         )
+    elif (not args.inputpath and args.input0 and args.input1
+          and Path(args.outputpath).is_dir() and args.numframe > 0):
+        # extension beyond the reference CLI: N intermediate frames from one
+        # pair at evenly spaced timesteps (v4-only, enforced above)
+        jobs = [
+            (args.input0, args.input1,
+             str(Path(args.outputpath) / ((pattern % (i + 1)) + "." + fmt)),
+             (i + 1) / (args.numframe + 1))
+            for i in range(args.numframe)
+        ]
     elif (not args.inputpath and not Path(args.input0).is_dir()
           and not Path(args.input1).is_dir() and not Path(args.outputpath).is_dir()):
         jobs = [(args.input0, args.input1, args.outputpath, args.timestep)]

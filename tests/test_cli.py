@@ -105,3 +105,23 @@ def test_cli_validation_errors(tmp_path):
     # bad -j
     assert main(["-0", a, "-1", b, "-o", str(tmp_path / "o.png"),
                  "-j", "0:1:1"]) == 255
+
+
+def test_cli_multiframe_single_pair(tmp_path):
+    """Extension: -0/-1 + directory output + -n N produces N frames at
+    evenly spaced timesteps (v4 only)."""
+    write_frames(tmp_path, n=2)
+    outd = tmp_path / "out"
+    outd.mkdir()
+    rc = main(["-0", str(tmp_path / "000.png"), "-1", str(tmp_path / "001.png"),
+               "-o", str(outd), "-n", "3", "-m", "rife-v4.6", "-g", "-1"])
+    assert rc == 0
+    names = sorted(os.listdir(outd))
+    assert names == [f"{i:08d}.png" for i in range(1, 4)]
+    imgs = [np.asarray(Image.open(outd / n)).astype(int) for n in names]
+    assert not np.array_equal(imgs[0], imgs[1])
+    assert not np.array_equal(imgs[1], imgs[2])
+    # non-v4 models reject it
+    rc = main(["-0", str(tmp_path / "000.png"), "-1", str(tmp_path / "001.png"),
+               "-o", str(outd), "-n", "3", "-m", "rife-v2.3", "-g", "-1"])
+    assert rc == 255
