@@ -61,6 +61,8 @@ def _run_flownet(ex: Executor, W, img0, img1, uhd: bool):
     (/root/reference/src/rife.cpp:928-945)."""
     ctx = {"w": W["flownet"]}
     if uhd:
+        # resized frames are no longer u8-exact -> disable the u8 warp path
+        ctx["no_u8_warp"] = True
         h, w = img0.shape[1], img0.shape[2]
         i0 = resize2d(img0, h // 2, w // 2)
         i1 = resize2d(img1, h // 2, w // 2)

@@ -67,12 +67,22 @@ class RIFE:
         wdtype = self.cfg.jdtype
         # Pallas warp kernel only lowers on real TPUs (Mosaic dynamic_gather)
         use_pallas = self.device.platform == "tpu"
+        # blobs that are exact value-copies of the u8-origin input frames:
+        # warps on those take the lossless u8-quad Pallas kernel
+        _IMG_SEEDS = {
+            "flownet": ("in0", "in1", "input0", "input1"),
+            "fusionnet": ("img0", "img1"),
+        }
         self.executors: Dict[str, Executor] = {}
         weights = {}
         for name, net in self.model.nets.items():
+            u8_blobs = net.graph.value_copies_of(_IMG_SEEDS.get(name, ()))
             self.executors[name] = Executor(
                 net.graph, jax_ops.OP_TABLE, net.weights,
-                ctx={"use_pallas_warp": use_pallas},
+                ctx={
+                    "use_pallas_warp": use_pallas,
+                    "u8_image_blobs": frozenset(u8_blobs),
+                },
             )
             weights[name] = jax_ops.prepare_weights(net.graph, net.weights, wdtype)
         self.weights = jax.device_put(weights, self.device)

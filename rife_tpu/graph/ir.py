@@ -86,6 +86,27 @@ class Graph:
                     stack.append(b)
         return sorted(needed)
 
+    def value_copies_of(self, seeds: Sequence[str]) -> Set[str]:
+        """Blobs that carry the exact same values as one of ``seeds``.
+
+        Transitive closure through ``Split`` layers only (ncnn Split is a
+        pure fan-out copy).  Used to tag u8-exact image blobs so the warp op
+        can take the quad-packed u8 kernel for them.
+        """
+        copies: Set[str] = {s for s in seeds if s in self.producer or s in self.input_blobs}
+        changed = True
+        while changed:
+            changed = False
+            for node in self.nodes:
+                if node.type != "Split":
+                    continue
+                if node.bottoms[0] in copies:
+                    for t in node.tops:
+                        if t not in copies:
+                            copies.add(t)
+                            changed = True
+        return copies
+
     def layers_of_type(self, type_name: str) -> List[LayerNode]:
         return [n for n in self.nodes if n.type == type_name]
 

@@ -406,7 +406,11 @@ def _op_warp(node, inputs, w, ctx):
         from .warp_pallas import fits_vmem, warp_pallas
 
         if fits_vmem(image.shape[1], image.shape[2]):
-            return [warp_pallas(image, flow)]
+            u8 = (
+                not ctx.get("no_u8_warp")
+                and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+            )
+            return [warp_pallas(image, flow, u8_origin=u8)]
     return [warp(image, flow)]
 
 

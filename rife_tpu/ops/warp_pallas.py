@@ -330,16 +330,173 @@ def _warp_pallas_packed_impl(image, flow):
     return out[..., :c].astype(image.dtype)
 
 
+def _warp_kernel_u8(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
+                    o0_ref, o1_ref, o2_ref, img_ref, sem, *, nt_w: int):
+    """u8-quad variant: one i32 gather word carries FOUR u8 channels
+    (RGB + pad), so a single (x0, x1) gather pair serves the whole pixel and
+    the band/mask algebra runs once per pixel instead of once per channel
+    pair.  Used for warp inputs that are value-copies of the u8-origin
+    input frames (Split closure, ``Graph.value_copies_of``) — for those,
+    ``round(v*255)`` is the exact original u8, so packing is lossless."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cp = pltpu.make_async_copy(img_hbm.at[pl.program_id(0)], img_ref, sem)
+        cp.start()
+        cp.wait()
+
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        y1 = y1_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        x1 = x1_ref[0, :, sl]
+        alpha = a_ref[0, :, sl]
+        beta = b_ref[0, :, sl]
+        w00 = (1.0 - alpha) * (1.0 - beta)
+        w01 = alpha * (1.0 - beta)
+        w10 = (1.0 - alpha) * beta
+        w11 = alpha * beta
+
+        band_lo = jnp.min(y0) // TH
+        band_hi = jnp.max(y1) // TH
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+        # NB: computing per-band x-tile bounds (masked min/max per band) was
+        # measured SLOWER on v5e — two masked cross-lane reductions per band
+        # cost more than the 0-1 tiles they skip.
+
+        def unpack3(g):
+            c0 = (g & 0xFF).astype(jnp.float32)
+            c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+            c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+            return c0, c1, c2
+
+        def band_body(band, accs):
+            def tile_body(t, accs):
+                a0, a1, a2 = accs
+                chunk = img_ref[
+                    pl.ds(pl.multiple_of(band * TH, TH), TH),
+                    pl.ds(t * LANE, LANE),
+                ]
+                lx0 = x0 - t * LANE
+                lx1 = x1 - t * LANE
+                ok0 = (lx0 >= 0) & (lx0 < LANE)
+                ok1 = (lx1 >= 0) & (lx1 < LANE)
+                lx0c = jnp.clip(lx0, 0, LANE - 1)
+                lx1c = jnp.clip(lx1, 0, LANE - 1)
+                zero = jnp.zeros_like(w00)
+                for k in range(TH):
+                    r = band * TH + k
+                    m_y0 = (y0 == r)
+                    m_y1 = (y1 == r)
+                    tile = jnp.broadcast_to(chunk[k : k + 1, :], (TH, LANE))
+                    g0 = jnp.take_along_axis(tile, lx0c, axis=1)
+                    g1 = jnp.take_along_axis(tile, lx1c, axis=1)
+                    wg0 = (
+                        jnp.where(m_y0 & ok0, w00, zero)
+                        + jnp.where(m_y1 & ok0, w10, zero)
+                    )
+                    wg1 = (
+                        jnp.where(m_y0 & ok1, w01, zero)
+                        + jnp.where(m_y1 & ok1, w11, zero)
+                    )
+                    r0, g0c, b0 = unpack3(g0)
+                    r1, g1c, b1 = unpack3(g1)
+                    a0 = a0 + r0 * wg0 + r1 * wg1
+                    a1 = a1 + g0c * wg0 + g1c * wg1
+                    a2 = a2 + b0 * wg0 + b1 * wg1
+                return (a0, a1, a2)
+
+            return lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+        zeros = jnp.zeros((TH, LANE), jnp.float32)
+        a0, a1, a2 = lax.fori_loop(
+            band_lo, band_hi + 1, band_body, (zeros, zeros, zeros)
+        )
+        o0_ref[0, :, sl] = a0
+        o1_ref[0, :, sl] = a1
+        o2_ref[0, :, sl] = a2
+
+
+def _warp_pallas_u8_impl(image, flow):
+    """u8-quad path for <=3-channel [0,1] images of u8 origin: ONE image
+    plane per batch element (grid b x stripes), one i32 word = 4 u8."""
+    b, h, w, c = image.shape
+    out_dtype = image.dtype
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)
+    nt_w = wp // LANE
+
+    q = jnp.round(
+        jnp.clip(image.astype(jnp.float32), 0.0, 1.0) * 255.0
+    ).astype(jnp.uint8)
+    if c < 4:
+        q = jnp.concatenate(
+            [q, jnp.zeros((b, h, w, 4 - c), jnp.uint8)], axis=-1
+        )
+    words = lax.bitcast_convert_type(q, jnp.int32)  # (B,H,W)
+
+    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = gx[None] + flow[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+
+    def pad2(x, val=0):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            constant_values=val,
+        )
+
+    words = pad2(words)
+    operands = [pad2(v) for v in (y0, y1, x0, x1, alpha, beta)]
+
+    grid = (b, hp // TH)
+    img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    idx_spec = pl.BlockSpec(
+        (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_warp_kernel_u8, nt_w=nt_w),
+        grid=grid,
+        in_specs=[img_spec] + [idx_spec] * 6,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(words, *operands)
+
+    out = jnp.stack(outs, axis=-1)[:, :h, :w, :c]
+    return (out * jnp.float32(1.0 / 255.0)).astype(out_dtype)
+
+
 def fits_vmem(h: int, w: int) -> bool:
     return _round_up(h, TH) * _round_up(w, LANE) * 4 <= _VMEM_IMAGE_LIMIT
 
 
-@jax.jit
-def warp_pallas(image, flow):
+@functools.partial(jax.jit, static_argnames=("u8_origin",))
+def warp_pallas(image, flow, u8_origin: bool = False):
     """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
 
-    bf16 images take the pair-packed kernel (2 channels per i32 gather);
-    other dtypes use the per-plane f32 kernel."""
+    ``u8_origin=True`` asserts the image values are u8/255 (the input
+    frames and their Split copies) — those take the lossless u8-quad kernel
+    (4 channels per i32 gather word, one plane per batch element).
+    Otherwise bf16 images take the pair-packed kernel (2 channels per word)
+    and other dtypes the per-plane f32 kernel."""
+    if u8_origin and image.shape[-1] <= 4:
+        return _warp_pallas_u8_impl(image, flow)
     if image.dtype == jnp.bfloat16:
         return _warp_pallas_packed_impl(image, flow)
     return _warp_pallas_impl(image, flow)

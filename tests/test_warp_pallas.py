@@ -46,6 +46,42 @@ def test_fits_vmem_thresholds():
     assert not fits_vmem(2176, 3840)   # 4K falls back to the XLA path
 
 
+def test_warp_pallas_u8_quad():
+    """u8-origin images take the quad-packed kernel (4 u8 channels per i32
+    gather word).  Packing is lossless for u8/255 values, so the result
+    matches the f32 oracle to float rounding."""
+    u8 = RNG.integers(0, 256, (1, 16, 128, 3)).astype(np.uint8)
+    img = (u8.astype(np.float32) / 255.0).astype(np.float32)
+    flow = (RNG.normal(size=(1, 16, 128, 2)) * 5).astype(np.float32)
+    ref = numpy_ref.warp(img, flow)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            warp_pallas(jnp.asarray(img), jnp.asarray(flow), u8_origin=True)
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_u8_quad_bf16_roundtrip():
+    """bf16 storage of u8/255 values still recovers the exact u8 on requant
+    (|bf16 rel err| < 2^-9 keeps round(v*255) exact for all 256 codes)."""
+    u8 = RNG.integers(0, 256, (1, 8, 128, 3)).astype(np.uint8)
+    img = jnp.asarray(u8.astype(np.float32) / 255.0).astype(jnp.bfloat16)
+    ref = numpy_ref.warp(
+        u8.astype(np.float32) / 255.0, np.zeros((1, 8, 128, 2), np.float32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            warp_pallas(img, jnp.zeros((1, 8, 128, 2)), u8_origin=True),
+            np.float32,
+        )
+    # the exact u8 is recovered internally; the only error left is the final
+    # cast back to the bf16 activation dtype
+    np.testing.assert_allclose(
+        got, np.asarray(jnp.asarray(ref).astype(jnp.bfloat16), np.float32),
+        atol=1e-6,
+    )
+
+
 def test_warp_pallas_packed_bf16():
     """bf16 inputs dispatch to the pair-packed kernel (2 channels per i32
     gather word); it unpacks to f32 internally, so the only error vs the f32

@@ -121,15 +121,23 @@ def main():
         return ex.run({"in0": a, "in1": bb, "in2": t}, need, {"w": Wt["flownet"]})
 
     vals = dict(zip(need, taps(session.weights, img0, img1, tp)))
+    u8_blobs = session.executors["flownet"].ctx.get("u8_image_blobs", ())
     for node in warp_nodes:
         image, flow = vals[node.bottoms[0]], vals[node.bottoms[1]]
         fl = np.asarray(flow, np.float32)
         dt = timeit(warp_pallas, image, flow, iters=5)
-        print(
+        line = (
             f"warp {node.name:8s} img{tuple(image.shape)} "
             f"flow[{fl.min():7.1f},{fl.max():7.1f}] "
             f"|f|~{np.abs(fl).mean():6.2f}: {dt*1e3:7.2f} ms"
         )
+        if node.bottoms[0] in u8_blobs:
+            dt8 = timeit(
+                lambda i, f: warp_pallas(i, f, u8_origin=True),
+                image, flow, iters=5,
+            )
+            line += f"  | u8-quad: {dt8*1e3:7.2f} ms"
+        print(line)
 
 
 if __name__ == "__main__":
