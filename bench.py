@@ -70,10 +70,13 @@ def measure(batch: int, iters: int, dtype: str = "bfloat16") -> float:
 
     out = step(session.weights, d0, d1, ts)
     sync(out)  # compile + warm
+    # async dispatch: queue all steps, sync once — per-step host syncs would
+    # charge the dev tunnel's ~30ms RTT to the device (the production
+    # pipeline never syncs mid-stream either)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(session.weights, d0, d1, ts)
-        sync(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
@@ -85,7 +88,7 @@ def main():
     if platform == "cpu":  # CI fallback: tiny config so the line still prints
         fps = measure(batch=1, iters=1)
     else:
-        fps = measure(batch=4, iters=6)
+        fps = measure(batch=8, iters=8)
     print(
         json.dumps(
             {

@@ -72,6 +72,31 @@ def test_v46_flownet_structure():
     assert len(pinned) < len(full)
 
 
+def test_v46_u8_image_blob_closure():
+    """Every warp in the v4 flownet reads a Split copy of the u8-origin
+    input frames — the set driving the u8-quad Pallas kernel dispatch."""
+    g = parse_param("/root/reference/models/rife-v4.6/flownet.param")
+    u8 = g.value_copies_of(["in0", "in1"])
+    warps = g.layers_of_type("rife.Warp")
+    assert len(warps) == 8
+    assert all(n.bottoms[0] in u8 for n in warps)
+    # flows must NOT be in the closure
+    assert all(n.bottoms[1] not in u8 for n in warps)
+    assert "flow0" not in u8 and "out0" not in u8
+
+
+def test_v23_fusionnet_u8_closure_covers_image_warps_only():
+    g = parse_param("/root/reference/models/rife-v2.3/fusionnet.param")
+    u8 = g.value_copies_of(["img0", "img1"])
+    warps = g.layers_of_type("rife.Warp")
+    assert len(warps) >= 2
+    assert all(n.bottoms[0] in u8 for n in warps)
+    # contextnet warps features (conv outputs) — none may be tagged
+    ctx = parse_param("/root/reference/models/rife-v2.3/contextnet.param")
+    u8c = ctx.value_copies_of([])  # no image seeds in contextnet
+    assert all(n.bottoms[0] not in u8c for n in ctx.layers_of_type("rife.Warp"))
+
+
 def test_v23_net_interfaces():
     base = "/root/reference/models/rife-v2.3"
     flownet = parse_param(f"{base}/flownet.param")
