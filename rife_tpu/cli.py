@@ -290,7 +290,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         [s.process_batch for s in sessions],
         jobs_load=jobs_load,
         jobs_save=jobs_save,
-        batch_size=max(jobs_proc) if jobs_proc else 2,
+        # -j proc counts become per-device batch sizes (main.cpp:548-551)
+        batch_size=jobs_proc if jobs_proc else [2] * len(sessions),
         verbose=args.verbose,
     )
     errors = runner.run(tasks)

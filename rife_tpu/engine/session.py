@@ -32,6 +32,36 @@ from .pipelines import PipelineConfig
 
 PAD_ALIGN = 32  # reference pads frames to 32px multiples (rife.cpp:424-425)
 
+_cache_ready = False
+
+
+def _enable_compile_cache(device) -> None:
+    """Persistent XLA compile cache (the reference compiles GLSL->SPIR-V at
+    runtime and caches in-process, rife.cpp:178-187; TPU compiles are far
+    slower, so ours persists across runs).  TPU-only: XLA:CPU AOT artifacts
+    are machine-feature-pinned and warn/SIGILL when reloaded elsewhere.
+    Opt out: RIFE_TPU_COMPILE_CACHE=0, or set it to a directory."""
+    global _cache_ready
+    if _cache_ready or device.platform != "tpu":
+        return
+    _cache_ready = True
+    import os
+
+    loc = os.environ.get("RIFE_TPU_COMPILE_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "rife_tpu", "xla",
+        )
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
 
 def pad_to(v: int, align: int = PAD_ALIGN) -> int:
     return (v + align - 1) // align * align
@@ -64,6 +94,7 @@ class RIFE:
             dtype=dtype,
         )
         self.device = device or jax.devices()[0]
+        _enable_compile_cache(self.device)
         wdtype = self.cfg.jdtype
         # Pallas warp kernel only lowers on real TPUs (Mosaic dynamic_gather)
         use_pallas = self.device.platform == "tpu"

@@ -97,14 +97,20 @@ class PipelineRunner:
         *,
         jobs_load: int = 1,
         jobs_save: int = 2,
-        batch_size: int = 1,
+        batch_size=1,
         verbose: bool = False,
         on_done: Optional[Callable[[Task], None]] = None,
     ):
         self.process_batches = list(process_batches)
         self.jobs_load = max(1, jobs_load)
         self.jobs_save = max(1, jobs_save)
-        self.batch_size = max(1, batch_size)
+        # per-device batch sizes (the analog of the reference's per-device
+        # proc thread counts, -j l:p0,p1,...:s — main.cpp:548-551)
+        if isinstance(batch_size, int):
+            batch_size = [batch_size] * len(self.process_batches)
+        if len(batch_size) != len(self.process_batches):
+            raise ValueError("need one batch size per device session")
+        self.batch_sizes = [max(1, b) for b in batch_size]
         self.verbose = verbose
         self.on_done = on_done
         self.toproc: "queue.Queue[Optional[Task]]" = queue.Queue(QUEUE_DEPTH)
@@ -142,7 +148,7 @@ class PipelineRunner:
                 if done is not None:
                     self.toproc.put(done)
 
-    def _proc(self, process_batch: Callable):
+    def _proc(self, process_batch: Callable, batch_size: int):
         pending: "OrderedDict[tuple, List[Task]]" = OrderedDict()
 
         def flush(shape_key):
@@ -181,7 +187,7 @@ class PipelineRunner:
                 continue
             key = task.in0.shape
             pending.setdefault(key, []).append(task)
-            if len(pending[key]) >= self.batch_size:
+            if len(pending[key]) >= batch_size:
                 flush(key)
 
     def _save(self):
@@ -218,8 +224,8 @@ class PipelineRunner:
         """Run all tasks; returns accumulated stage errors (empty = clean)."""
         loader = threading.Thread(target=self._load, args=(tasks,))
         procs = [
-            threading.Thread(target=self._proc, args=(fn,))
-            for fn in self.process_batches
+            threading.Thread(target=self._proc, args=(fn, bs))
+            for fn, bs in zip(self.process_batches, self.batch_sizes)
         ]
         saver = threading.Thread(target=self._save)
         loader.start()

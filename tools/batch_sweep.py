@@ -27,7 +27,9 @@ def main():
     def sync(x):
         return np.asarray(x[0, 0, 0, 0])
 
-    for b in (1, 2, 4, 8):
+    import sys
+    batches = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
+    for b in batches:
         in0 = np.broadcast_to(f0, (b, H, W, 3)).copy()
         in1 = np.broadcast_to(f1, (b, H, W, 3)).copy()
         ts = jnp.full((b,), 0.5, jnp.float32)
