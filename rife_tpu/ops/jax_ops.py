@@ -40,7 +40,14 @@ def _conv_precision(x):
     return lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
-def conv2d(x, w_hwio, bias, *, stride=1, pad=0, dilation=1, accum_dtype=jnp.float32):
+def _conv_out_dtype(x):
+    # The MXU accumulates in f32 regardless; asking for a bf16 result rounds
+    # once on output — numerically identical to f32-out + astype(bf16), but
+    # halves the materialized conv-output traffic (the step is HBM-bound).
+    return x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+
+def conv2d(x, w_hwio, bias, *, stride=1, pad=0, dilation=1):
     """NHWC conv. ``w_hwio`` is (kh, kw, in, out)."""
     y = lax.conv_general_dilated(
         x,
@@ -49,7 +56,7 @@ def conv2d(x, w_hwio, bias, *, stride=1, pad=0, dilation=1, accum_dtype=jnp.floa
         padding=[(pad, pad), (pad, pad)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=DIMSPEC,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_conv_out_dtype(x),
         precision=_conv_precision(x),
     )
     if bias is not None:
@@ -57,7 +64,7 @@ def conv2d(x, w_hwio, bias, *, stride=1, pad=0, dilation=1, accum_dtype=jnp.floa
     return y.astype(x.dtype)
 
 
-def deconv2d(x, w_hwio_flipped, bias, *, stride=2, pad=1, accum_dtype=jnp.float32):
+def deconv2d(x, w_hwio_flipped, bias, *, stride=2, pad=1):
     """NHWC transposed conv (torch ConvTranspose2d semantics).
 
     ``w_hwio_flipped`` is the ConvTranspose kernel already spatially flipped
@@ -73,7 +80,7 @@ def deconv2d(x, w_hwio_flipped, bias, *, stride=2, pad=1, accum_dtype=jnp.float3
         padding=[(eff, eff), (eff, eff)],
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMSPEC,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_conv_out_dtype(x),
         precision=_conv_precision(x),
     )
     if bias is not None:

@@ -330,14 +330,23 @@ def _warp_pallas_packed_impl(image, flow):
     return out[..., :c].astype(image.dtype)
 
 
-def _warp_kernel_u8(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
-                    o0_ref, o1_ref, o2_ref, img_ref, sem, *, nt_w: int):
+def _warp_kernel_u8(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                    o0_ref, o1_ref, o2_ref, img_ref, sem, *,
+                    nt_w: int, h_max: int, w_max: int):
     """u8-quad variant: one i32 gather word carries FOUR u8 channels
     (RGB + pad), so a single (x0, x1) gather pair serves the whole pixel and
     the band/mask algebra runs once per pixel instead of once per channel
     pair.  Used for warp inputs that are value-copies of the u8-origin
     input frames (Split closure, ``Graph.value_copies_of``) — for those,
-    ``round(v*255)`` is the exact original u8, so packing is lossless."""
+    ``round(v*255)`` is the exact original u8, so packing is lossless.
+
+    y1/x1 are recomputed as min(+1, limit) in-kernel instead of shipped as
+    operands: they differ from the shader's clip(floor+1) only where the
+    corresponding bilinear weight is exactly zero (alpha/beta clamp to 0/1
+    out of range), so results are identical and two full-resolution index
+    planes of HBM traffic disappear.  Outputs are written in the image
+    dtype with the /255 normalization folded in (one rounding, same as the
+    XLA epilogue it replaces)."""
     @pl.when(pl.program_id(1) == 0)
     def _():
         cp = pltpu.make_async_copy(img_hbm.at[pl.program_id(0)], img_ref, sem)
@@ -347,9 +356,9 @@ def _warp_kernel_u8(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
     for lo in range(nt_w):
         sl = pl.ds(lo * LANE, LANE)
         y0 = y0_ref[0, :, sl]
-        y1 = y1_ref[0, :, sl]
         x0 = x0_ref[0, :, sl]
-        x1 = x1_ref[0, :, sl]
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
         alpha = a_ref[0, :, sl]
         beta = b_ref[0, :, sl]
         w00 = (1.0 - alpha) * (1.0 - beta)
@@ -413,9 +422,10 @@ def _warp_kernel_u8(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
         a0, a1, a2 = lax.fori_loop(
             band_lo, band_hi + 1, band_body, (zeros, zeros, zeros)
         )
-        o0_ref[0, :, sl] = a0
-        o1_ref[0, :, sl] = a1
-        o2_ref[0, :, sl] = a2
+        scale = jnp.float32(1.0 / 255.0)
+        o0_ref[0, :, sl] = (a0 * scale).astype(o0_ref.dtype)
+        o1_ref[0, :, sl] = (a1 * scale).astype(o1_ref.dtype)
+        o2_ref[0, :, sl] = (a2 * scale).astype(o2_ref.dtype)
 
 
 def _warp_pallas_u8_impl(image, flow):
@@ -442,9 +452,7 @@ def _warp_pallas_u8_impl(image, flow):
     x0f = jnp.floor(sx)
     y0f = jnp.floor(sy)
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
     beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
 
@@ -455,7 +463,7 @@ def _warp_pallas_u8_impl(image, flow):
         )
 
     words = pad2(words)
-    operands = [pad2(v) for v in (y0, y1, x0, x1, alpha, beta)]
+    operands = [pad2(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b, hp // TH)
     img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -467,11 +475,13 @@ def _warp_pallas_u8_impl(image, flow):
     )
 
     outs = pl.pallas_call(
-        functools.partial(_warp_kernel_u8, nt_w=nt_w),
+        functools.partial(
+            _warp_kernel_u8, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        ),
         grid=grid,
-        in_specs=[img_spec] + [idx_spec] * 6,
+        in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, hp, wp), out_dtype)] * 3,
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -479,7 +489,7 @@ def _warp_pallas_u8_impl(image, flow):
     )(words, *operands)
 
     out = jnp.stack(outs, axis=-1)[:, :h, :w, :c]
-    return (out * jnp.float32(1.0 / 255.0)).astype(out_dtype)
+    return out
 
 
 def fits_vmem(h: int, w: int) -> bool:
