@@ -412,11 +412,14 @@ def _op_warp(node, inputs, w, ctx):
     if ctx.get("use_pallas_warp"):
         from .warp_pallas import fits_vmem, warp_pallas
 
-        if fits_vmem(image.shape[1], image.shape[2]):
-            u8 = (
-                not ctx.get("no_u8_warp")
-                and node.bottoms[0] in ctx.get("u8_image_blobs", ())
-            )
+        u8 = (
+            not ctx.get("no_u8_warp")
+            and image.shape[-1] <= 4
+            and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+        )
+        # u8-origin warps stream slabs at any size; the float kernels need
+        # the whole plane resident in VMEM
+        if u8 or fits_vmem(image.shape[1], image.shape[2]):
             return [warp_pallas(image, flow, u8_origin=u8)]
     return [warp(image, flow)]
 

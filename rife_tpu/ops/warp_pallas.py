@@ -428,9 +428,126 @@ def _warp_kernel_u8(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
         o2_ref[0, :, sl] = (a2 * scale).astype(o2_ref.dtype)
 
 
-def _warp_pallas_u8_impl(image, flow):
-    """u8-quad path for <=3-channel [0,1] images of u8 origin: ONE image
-    plane per batch element (grid b x stripes), one i32 word = 4 u8."""
+def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                         o0_ref, o1_ref, o2_ref,
+                         slab, acc0, acc1, acc2, sem, *,
+                         nt_w: int, h_max: int, w_max: int):
+    """Slab-streaming u8-quad warp for frames beyond the VMEM ceiling
+    (UHD/4K — the reference's UHD mode still runs context/fusion warps at
+    full resolution, /root/reference/src/rife.cpp:294-332).
+
+    The image stays in HBM; the band loop is outermost and DMAs one 8-row
+    full-width slab per source band, which every 128-lane output window then
+    gathers from.  VMEM holds only the slab + full-width accumulators, so
+    any resolution fits.  Per-window band/tile ranges still skip work."""
+    zeros_row = jnp.zeros(acc0.shape, jnp.float32)
+    acc0[...] = zeros_row
+    acc1[...] = zeros_row
+    acc2[...] = zeros_row
+
+    # per-window (128-lane) iteration ranges, precomputed once
+    ranges = []
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        ranges.append((
+            jnp.min(y0) // TH,
+            jnp.max(jnp.minimum(y0 + 1, h_max)) // TH,
+            jnp.min(x0) // LANE,
+            jnp.max(jnp.minimum(x0 + 1, w_max)) // LANE,
+        ))
+
+    band_lo = jnp.min(y0_ref[0]) // TH
+    band_hi = jnp.max(jnp.minimum(y0_ref[0] + 1, h_max)) // TH
+
+    def unpack3(g):
+        c0 = (g & 0xFF).astype(jnp.float32)
+        c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        return c0, c1, c2
+
+    def band_body(band, carry):
+        cp = pltpu.make_async_copy(
+            img_hbm.at[
+                pl.program_id(0),
+                pl.ds(pl.multiple_of(band * TH, TH), TH),
+                :,
+            ],
+            slab,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+        for lo in range(nt_w):
+            blo, bhi, t_lo, t_hi = ranges[lo]
+
+            @pl.when((band >= blo) & (band <= bhi))
+            def _(lo=lo, t_lo=t_lo, t_hi=t_hi):
+                sl = pl.ds(lo * LANE, LANE)
+                y0 = y0_ref[0, :, sl]
+                x0 = x0_ref[0, :, sl]
+                y1 = jnp.minimum(y0 + 1, h_max)
+                x1 = jnp.minimum(x0 + 1, w_max)
+                alpha = a_ref[0, :, sl]
+                beta = b_ref[0, :, sl]
+                w00 = (1.0 - alpha) * (1.0 - beta)
+                w01 = alpha * (1.0 - beta)
+                w10 = (1.0 - alpha) * beta
+                w11 = alpha * beta
+                zero = jnp.zeros_like(w00)
+
+                def tile_body(t, accs):
+                    a0v, a1v, a2v = accs
+                    chunk = slab[:, pl.ds(t * LANE, LANE)]
+                    lx0 = x0 - t * LANE
+                    lx1 = x1 - t * LANE
+                    ok0 = (lx0 >= 0) & (lx0 < LANE)
+                    ok1 = (lx1 >= 0) & (lx1 < LANE)
+                    lx0c = jnp.clip(lx0, 0, LANE - 1)
+                    lx1c = jnp.clip(lx1, 0, LANE - 1)
+                    for k in range(TH):
+                        r = band * TH + k
+                        m_y0 = (y0 == r)
+                        m_y1 = (y1 == r)
+                        tile = jnp.broadcast_to(chunk[k : k + 1, :], (TH, LANE))
+                        g0 = jnp.take_along_axis(tile, lx0c, axis=1)
+                        g1 = jnp.take_along_axis(tile, lx1c, axis=1)
+                        wg0 = (
+                            jnp.where(m_y0 & ok0, w00, zero)
+                            + jnp.where(m_y1 & ok0, w10, zero)
+                        )
+                        wg1 = (
+                            jnp.where(m_y0 & ok1, w01, zero)
+                            + jnp.where(m_y1 & ok1, w11, zero)
+                        )
+                        r0, g0c, b0 = unpack3(g0)
+                        r1, g1c, b1 = unpack3(g1)
+                        a0v = a0v + r0 * wg0 + r1 * wg1
+                        a1v = a1v + g0c * wg0 + g1c * wg1
+                        a2v = a2v + b0 * wg0 + b1 * wg1
+                    return (a0v, a1v, a2v)
+
+                a0v, a1v, a2v = lax.fori_loop(
+                    t_lo, t_hi + 1, tile_body,
+                    (acc0[:, sl], acc1[:, sl], acc2[:, sl]),
+                )
+                acc0[:, sl] = a0v
+                acc1[:, sl] = a1v
+                acc2[:, sl] = a2v
+
+        return carry
+
+    lax.fori_loop(band_lo, band_hi + 1, band_body, 0)
+    scale = jnp.float32(1.0 / 255.0)
+    o0_ref[0] = (acc0[...] * scale).astype(o0_ref.dtype)
+    o1_ref[0] = (acc1[...] * scale).astype(o1_ref.dtype)
+    o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
+
+
+def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool):
+    """Shared host-side driver for both u8-quad variants."""
     b, h, w, c = image.shape
     out_dtype = image.dtype
     hp, wp = _round_up(h, TH), _round_up(w, LANE)
@@ -449,10 +566,8 @@ def _warp_pallas_u8_impl(image, flow):
     gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
     sx = gx[None] + flow[..., 0].astype(jnp.float32)
     sy = gy[None] + flow[..., 1].astype(jnp.float32)
-    x0f = jnp.floor(sx)
-    y0f = jnp.floor(sy)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
     beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
 
@@ -474,18 +589,33 @@ def _warp_pallas_u8_impl(image, flow):
         (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
 
-    outs = pl.pallas_call(
-        functools.partial(
+    if slab_mode:
+        kernel = functools.partial(
+            _warp_kernel_u8_slab, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        )
+        scratch = [
+            pltpu.VMEM((TH, wp), jnp.int32),     # slab
+            pltpu.VMEM((TH, wp), jnp.float32),   # acc r
+            pltpu.VMEM((TH, wp), jnp.float32),   # acc g
+            pltpu.VMEM((TH, wp), jnp.float32),   # acc b
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kernel = functools.partial(
             _warp_kernel_u8, nt_w=nt_w, h_max=h - 1, w_max=w - 1
-        ),
+        )
+        scratch = [
+            pltpu.VMEM((hp, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((b, hp, wp), out_dtype)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )(words, *operands)
 
     out = jnp.stack(outs, axis=-1)[:, :h, :w, :c]
@@ -502,11 +632,14 @@ def warp_pallas(image, flow, u8_origin: bool = False):
 
     ``u8_origin=True`` asserts the image values are u8/255 (the input
     frames and their Split copies) — those take the lossless u8-quad kernel
-    (4 channels per i32 gather word, one plane per batch element).
-    Otherwise bf16 images take the pair-packed kernel (2 channels per word)
-    and other dtypes the per-plane f32 kernel."""
+    (4 channels per i32 gather word, one plane per batch element), with the
+    VMEM-resident variant up to ~1080p and the slab-streaming variant at any
+    larger size (UHD/4K).  Otherwise bf16 images take the pair-packed kernel
+    (2 channels per word) and other dtypes the per-plane f32 kernel; both
+    require the plane to fit VMEM (callers fall back to the XLA gather)."""
     if u8_origin and image.shape[-1] <= 4:
-        return _warp_pallas_u8_impl(image, flow)
+        slab = not fits_vmem(image.shape[1], image.shape[2])
+        return _warp_pallas_u8_impl_any(image, flow, slab_mode=slab)
     if image.dtype == jnp.bfloat16:
         return _warp_pallas_packed_impl(image, flow)
     return _warp_pallas_impl(image, flow)

@@ -82,6 +82,24 @@ def test_warp_pallas_u8_quad_bf16_roundtrip():
     )
 
 
+def test_warp_pallas_u8_slab_streaming():
+    """The slab-streaming u8 variant (images beyond the VMEM ceiling — UHD)
+    must match the oracle exactly like the resident variant."""
+    from rife_tpu.ops.warp_pallas import _warp_pallas_u8_impl_any
+
+    u8 = RNG.integers(0, 256, (1, 24, 256, 3)).astype(np.uint8)
+    img = u8.astype(np.float32) / 255.0
+    flow = (RNG.normal(size=(1, 24, 256, 2)) * 7).astype(np.float32)
+    ref = numpy_ref.warp(img, flow)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            _warp_pallas_u8_impl_any(
+                jnp.asarray(img), jnp.asarray(flow), slab_mode=True
+            )
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_warp_pallas_packed_bf16():
     """bf16 inputs dispatch to the pair-packed kernel (2 channels per i32
     gather word); it unpacks to f32 internally, so the only error vs the f32
