@@ -638,6 +638,10 @@ def warp_pallas(image, flow, u8_origin: bool = False):
     (2 channels per word) and other dtypes the per-plane f32 kernel; both
     require the plane to fit VMEM (callers fall back to the XLA gather)."""
     if u8_origin and image.shape[-1] <= 4:
+        # resident image wins when it fits VMEM (the slab variant re-DMAs
+        # each source band per output stripe: +3% on the B=8 1080p step);
+        # slab streaming takes over beyond the ceiling (4K: 17ms vs the
+        # XLA gather's 44s)
         slab = not fits_vmem(image.shape[1], image.shape[2])
         return _warp_pallas_u8_impl_any(image, flow, slab_mode=slab)
     if image.dtype == jnp.bfloat16:
