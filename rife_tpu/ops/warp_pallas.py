@@ -24,15 +24,19 @@ noise (vs ~300 ms for the XLA gather).  Arbitrary flows stay exact.
 
 Index/fraction algebra is bit-identical to ``jax_ops.warp`` / the reference
 shader (clamped corners, fractions from clamped corners —
-/root/reference/src/warp.comp:42-63); indices are precomputed as cheap XLA
-elementwise ops (computing them in-kernel stalls the Mosaic compiler).
-Out-of-range fractions are clamped to [0,1]: both corners coincide there, so
-the value is unchanged but the shader's catastrophic (1-a)v + av cancellation
-for |a|>>1 is avoided.
+/root/reference/src/warp.comp:42-63); y0/x0/alpha/beta are precomputed as
+cheap XLA elementwise ops (computing the floor/clip chain fully in-kernel
+stalls the Mosaic compiler); y1/x1 are rebuilt in-kernel as min(+1, limit),
+which differs from the shader's clip(floor+1) only where the corresponding
+bilinear weight is exactly zero.  Out-of-range fractions are clamped to
+[0,1]: both corners coincide there, so the value is unchanged but the
+shader's catastrophic (1-a)v + av cancellation for |a|>>1 is avoided.
 
-The image plane rides whole in VMEM per (batch*channel) grid step, so this
-path is used when Hp*Wp*4B fits (~1080p and below); callers fall back to the
-XLA gather for larger frames (UHD mode estimates flow at 0.5x anyway).
+Variants: per-plane f32, bf16 pair-packed (2 channels per i32 word), and
+for u8-origin images the quad-packed kernel (whole RGB pixel per word) with
+a VMEM-resident image up to ~1080p and slab streaming at any larger size.
+Float kernels need the plane resident in VMEM; callers fall back to the XLA
+gather beyond that.
 """
 
 from __future__ import annotations
@@ -56,8 +60,8 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _warp_kernel(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
-                 o_ref, img_ref, sem, *, nt_w: int):
+def _warp_kernel(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                 o_ref, img_ref, sem, *, nt_w: int, h_max: int, w_max: int):
     # stage the full image plane into single-buffered VMEM scratch once per
     # (batch*channel) plane (letting Pallas block it would double-buffer
     # ~8.4MB and blow the 16MB VMEM budget inside larger programs)
@@ -72,9 +76,12 @@ def _warp_kernel(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
     for lo in range(nt_w):
         sl = pl.ds(lo * LANE, LANE)
         y0 = y0_ref[0, :, sl]
-        y1 = y1_ref[0, :, sl]
         x0 = x0_ref[0, :, sl]
-        x1 = x1_ref[0, :, sl]
+        # (+1, clamped) differs from the shader's clip(floor+1) only where
+        # the corresponding bilinear weight is exactly zero — see
+        # _warp_kernel_u8
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
         alpha = a_ref[0, :, sl]
         beta = b_ref[0, :, sl]
         w00 = (1.0 - alpha) * (1.0 - beta)
@@ -123,7 +130,7 @@ def _warp_kernel(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref, b_ref,
             band_lo, band_hi + 1, band_body,
             jnp.zeros((TH, LANE), jnp.float32),
         )
-        o_ref[0, :, sl] = acc
+        o_ref[0, :, sl] = acc.astype(o_ref.dtype)
 
 
 def _warp_pallas_impl(image, flow):
@@ -137,12 +144,8 @@ def _warp_pallas_impl(image, flow):
     gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
     sx = gx[None] + flow[..., 0].astype(jnp.float32)
     sy = gy[None] + flow[..., 1].astype(jnp.float32)
-    x0f = jnp.floor(sx)
-    y0f = jnp.floor(sy)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     # For out-of-range samples both corners clamp to the same pixel, so the
     # fraction cancels mathematically; clamping avoids the catastrophic
     # (1-a)*v + a*v cancellation the shader formula incurs for huge |a|.
@@ -160,7 +163,7 @@ def _warp_pallas_impl(image, flow):
             b * c, h, w
         )
     )
-    operands = [pad2(v) for v in (y0, y1, x0, x1, alpha, beta)]
+    operands = [pad2(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b * c, hp // TH)
     img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -168,13 +171,15 @@ def _warp_pallas_impl(image, flow):
     idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, nt_w=nt_w),
+        functools.partial(
+            _warp_kernel, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        ),
         grid=grid,
-        in_specs=[img_spec] + [idx_spec] * 6,
+        in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=pl.BlockSpec(
             (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * c, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * c, hp, wp), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -182,11 +187,12 @@ def _warp_pallas_impl(image, flow):
     )(img, *operands)
 
     out = out[:, :h, :w].reshape(b, c, h, w).transpose(0, 2, 3, 1)
-    return out.astype(out_dtype)
+    return out
 
 
-def _warp_kernel_packed(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref,
-                        b_ref, o0_ref, o1_ref, img_ref, sem, *, nt_w: int):
+def _warp_kernel_packed(img_hbm, y0_ref, x0_ref, a_ref,
+                        b_ref, o0_ref, o1_ref, img_ref, sem, *,
+                        nt_w: int, h_max: int, w_max: int):
     """Pair-packed variant: each i32 gather word carries two bf16 channels
     (low/high 16 bits), halving gather traffic and sharing all mask/weight
     math between the pair.  bf16 -> f32 unpack is a shift + bitcast (the f32
@@ -200,9 +206,9 @@ def _warp_kernel_packed(img_hbm, y0_ref, y1_ref, x0_ref, x1_ref, a_ref,
     for lo in range(nt_w):
         sl = pl.ds(lo * LANE, LANE)
         y0 = y0_ref[0, :, sl]
-        y1 = y1_ref[0, :, sl]
         x0 = x0_ref[0, :, sl]
-        x1 = x1_ref[0, :, sl]
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
         alpha = a_ref[0, :, sl]
         beta = b_ref[0, :, sl]
         w00 = (1.0 - alpha) * (1.0 - beta)
@@ -280,12 +286,8 @@ def _warp_pallas_packed_impl(image, flow):
     gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
     sx = gx[None] + flow[..., 0].astype(jnp.float32)
     sy = gy[None] + flow[..., 1].astype(jnp.float32)
-    x0f = jnp.floor(sx)
-    y0f = jnp.floor(sy)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
     beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
 
@@ -299,7 +301,7 @@ def _warp_pallas_packed_impl(image, flow):
     pairs = image.astype(jnp.bfloat16).reshape(b, h, w, c2, 2)
     words = lax.bitcast_convert_type(pairs, jnp.int32)
     words = pad2(words.transpose(0, 3, 1, 2).reshape(b * c2, h, w))
-    operands = [pad2(v) for v in (y0, y1, x0, x1, alpha, beta)]
+    operands = [pad2(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b * c2, hp // TH)
     img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -310,9 +312,11 @@ def _warp_pallas_packed_impl(image, flow):
     )
 
     out0, out1 = pl.pallas_call(
-        functools.partial(_warp_kernel_packed, nt_w=nt_w),
+        functools.partial(
+            _warp_kernel_packed, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        ),
         grid=grid,
-        in_specs=[img_spec] + [idx_spec] * 6,
+        in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b * c2, hp, wp), jnp.float32),
