@@ -35,6 +35,21 @@ def test_pad_to():
     assert pad_to(1080) == 1088 and pad_to(1920) == 1920
 
 
+def test_u8_image_blobs_wired_into_executors(v46, v23):
+    """Sessions tag u8-origin image blobs per net so the warp op can take
+    the lossless u8-quad Pallas kernel on TPU."""
+    u8 = v46.executors["flownet"].ctx["u8_image_blobs"]
+    warps = v46.model.nets["flownet"].graph.layers_of_type("rife.Warp")
+    assert len(warps) == 8 and all(n.bottoms[0] in u8 for n in warps)
+    # v2.3: fusionnet image warps tagged, contextnet feature warps not
+    fus = v23.executors["fusionnet"]
+    fwarps = v23.model.nets["fusionnet"].graph.layers_of_type("rife.Warp")
+    assert all(n.bottoms[0] in fus.ctx["u8_image_blobs"] for n in fwarps)
+    cx = v23.executors["contextnet"]
+    cwarps = v23.model.nets["contextnet"].graph.layers_of_type("rife.Warp")
+    assert all(n.bottoms[0] not in cx.ctx["u8_image_blobs"] for n in cwarps)
+
+
 @pytest.mark.parametrize("model", ["rife", "rife-v2.3", "rife-v3.1", "rife-v4.6"])
 def test_all_families_run(model):
     s = RIFE(model)
