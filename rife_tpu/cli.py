@@ -293,6 +293,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # -j proc counts become per-device batch sizes (main.cpp:548-551)
         batch_size=jobs_proc if jobs_proc else [2] * len(sessions),
         verbose=args.verbose,
+        device_fns=[s.process_batch_device for s in sessions],
     )
     errors = runner.run(tasks)
     for e in errors:

@@ -100,8 +100,17 @@ class PipelineRunner:
         batch_size=1,
         verbose: bool = False,
         on_done: Optional[Callable[[Task], None]] = None,
+        device_fns: Optional[Sequence[Callable]] = None,
     ):
+        """``device_fns`` (optional, one per session) are asynchronous
+        variants returning on-device arrays (``RIFE.process_batch_device``);
+        when given, the proc stage dispatches batch k+1 while batch k is
+        still computing/downloading — upload, compute and download overlap
+        instead of serializing (downloads dominate on slow links)."""
         self.process_batches = list(process_batches)
+        self.device_fns = list(device_fns) if device_fns else None
+        if self.device_fns and len(self.device_fns) != len(self.process_batches):
+            raise ValueError("need one device_fn per process_batch")
         self.jobs_load = max(1, jobs_load)
         self.jobs_save = max(1, jobs_save)
         # per-device batch sizes (the analog of the reference's per-device
@@ -148,8 +157,27 @@ class PipelineRunner:
                 if done is not None:
                     self.toproc.put(done)
 
-    def _proc(self, process_batch: Callable, batch_size: int):
+    def _proc(self, process_batch: Callable, batch_size: int,
+              device_fn: Optional[Callable]):
         pending: "OrderedDict[tuple, List[Task]]" = OrderedDict()
+        # async path: at most 2 batches in flight (dispatch k+1 while k
+        # computes/downloads), downloads drain in order on one thread
+        inflight = threading.BoundedSemaphore(2)
+        downloads = ThreadPoolExecutor(1) if device_fn else None
+
+        def deliver(batch, outs):
+            for t, o in zip(batch, outs):
+                t.out = o
+                self.tosave.put(t)
+
+        def download(batch, dev_out, t0):
+            try:
+                deliver(batch, np.asarray(dev_out))
+                self.metrics.add("proc", time.perf_counter() - t0, len(batch))
+            except Exception as e:  # noqa: BLE001
+                self._record_error(f"download batch: {e}")
+            finally:
+                inflight.release()
 
         def flush(shape_key):
             batch = pending.pop(shape_key, None)
@@ -160,11 +188,18 @@ class PipelineRunner:
                 in0 = np.stack([t.in0 for t in batch])
                 in1 = np.stack([t.in1 for t in batch])
                 ts = np.asarray([t.timestep for t in batch], np.float32)
-                outs = process_batch(in0, in1, ts)
-                self.metrics.add("proc", time.perf_counter() - t0, len(batch))
-                for t, o in zip(batch, outs):
-                    t.out = o
-                    self.tosave.put(t)
+                if downloads is not None:
+                    inflight.acquire()
+                    try:
+                        dev_out = device_fn(in0, in1, ts)
+                    except Exception:
+                        inflight.release()
+                        raise
+                    downloads.submit(download, batch, dev_out, t0)
+                else:
+                    outs = process_batch(in0, in1, ts)
+                    self.metrics.add("proc", time.perf_counter() - t0, len(batch))
+                    deliver(batch, outs)
             except Exception as e:  # noqa: BLE001
                 self._record_error(f"process batch: {e}")
 
@@ -173,6 +208,8 @@ class PipelineRunner:
             if task is None:
                 for key in list(pending.keys()):
                     flush(key)
+                if downloads is not None:
+                    downloads.shutdown(wait=True)
                 self.tosave.put(None)
                 return
             # t==0/1 short-circuit, as the reference engine does
@@ -223,9 +260,10 @@ class PipelineRunner:
     def run(self, tasks: Sequence[Task]) -> List[str]:
         """Run all tasks; returns accumulated stage errors (empty = clean)."""
         loader = threading.Thread(target=self._load, args=(tasks,))
+        dfns = self.device_fns or [None] * len(self.process_batches)
         procs = [
-            threading.Thread(target=self._proc, args=(fn, bs))
-            for fn, bs in zip(self.process_batches, self.batch_sizes)
+            threading.Thread(target=self._proc, args=(fn, bs, dfn))
+            for fn, bs, dfn in zip(self.process_batches, self.batch_sizes, dfns)
         ]
         saver = threading.Thread(target=self._save)
         loader.start()
