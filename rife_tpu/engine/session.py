@@ -17,16 +17,14 @@ Differences from the reference, by TPU design:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..graph.executor import Executor
 from ..models.zoo import LoadedModel, load_model
-from ..ops import jax_ops, numpy_ref
+from ..ops import jax_ops
 from . import pipelines
 from .pipelines import PipelineConfig
 
