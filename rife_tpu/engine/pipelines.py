@@ -36,10 +36,18 @@ class PipelineConfig:
     tta_temporal_mode: bool = False
     uhd_mode: bool = False
     dtype: str = "float32"  # "float32" | "bfloat16"
+    # extra executor-context overrides as (key, value) pairs (hashable so
+    # the config stays a valid static jit argument); e.g. disabling the
+    # Pallas warp for GSPMD spatial sharding
+    extra_ctx: tuple = ()
 
     @property
     def jdtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def _mkctx(cfg: "PipelineConfig", W, net: str):
+    return {"w": W[net], **dict(cfg.extra_ctx)}
 
 
 def _flatten_views(g):
@@ -56,10 +64,10 @@ def _unflatten_views(x, b):
 # v1 / v2 / v3
 # ---------------------------------------------------------------------------
 
-def _run_flownet(ex: Executor, W, img0, img1, uhd: bool):
+def _run_flownet(ex: Executor, cfg, W, img0, img1, uhd: bool):
     """flow extraction incl. UHD mode: flow estimated at 0.5x and rescaled
     (/root/reference/src/rife.cpp:928-945)."""
-    ctx = {"w": W["flownet"]}
+    ctx = _mkctx(cfg, W, "flownet")
     if uhd:
         # resized frames are no longer u8-exact -> disable the u8 warp path
         ctx["no_u8_warp"] = True
@@ -72,19 +80,19 @@ def _run_flownet(ex: Executor, W, img0, img1, uhd: bool):
     return ex.run({"input0": img0, "input1": img1}, ["flow"], ctx)[0]
 
 
-def _run_contextnet(ex: Executor, W, img, flow_in, slot: int, v2: bool):
+def _run_contextnet(ex: Executor, cfg, W, img, flow_in, slot: int, v2: bool):
     """ctx features for one image; v2 feeds the sliced 2ch flow as flow.0,
     v1 feeds the full flow as flow.0 (slot 0) / flow.1 (slot 1)
     (/root/reference/src/rife.cpp:1018-1060)."""
-    ctx = {"w": W["contextnet"]}
+    ctx = _mkctx(cfg, W, "contextnet")
     flow_name = "flow.0" if (v2 or slot == 0) else "flow.1"
     return ex.run(
         {"input.1": img, flow_name: flow_in}, ["f1", "f2", "f3", "f4"], ctx
     )
 
 
-def _run_fusionnet(ex: Executor, W, img0, img1, flow, ctx0, ctx1):
-    ctx = {"w": W["fusionnet"]}
+def _run_fusionnet(ex: Executor, cfg, W, img0, img1, flow, ctx0, ctx1):
+    ctx = _mkctx(cfg, W, "fusionnet")
     inputs = {"img0": img0, "img1": img1, "flow": flow}
     for i, f in enumerate(list(ctx0) + list(ctx1)):
         inputs[str(3 + i)] = f
@@ -94,10 +102,10 @@ def _run_fusionnet(ex: Executor, W, img0, img1, flow, ctx0, ctx1):
 def _v1v2_core(nets, cfg: PipelineConfig, W, img0, img1):
     """Padded normalised frames -> padded output frame (one geometry)."""
     v2 = cfg.family == "v2"
-    flow = _run_flownet(nets["flownet"], W, img0, img1, cfg.uhd_mode)
+    flow = _run_flownet(nets["flownet"], cfg, W, img0, img1, cfg.uhd_mode)
     flow_rev = None
     if cfg.tta_temporal_mode:
-        flow_rev = _run_flownet(nets["flownet"], W, img1, img0, cfg.uhd_mode)
+        flow_rev = _run_flownet(nets["flownet"], cfg, W, img1, img0, cfg.uhd_mode)
         if v2:
             flow, flow_rev = frame.flow_temporal_avg_v2(flow, flow_rev)
         else:
@@ -109,12 +117,12 @@ def _v1v2_render(nets, cfg, W, img0, img1, flow, flow_rev):
     v2 = cfg.family == "v2"
     f0_in = flow[..., 0:2] if v2 else flow
     f1_in = flow[..., 2:4] if v2 else flow
-    ctx0 = _run_contextnet(nets["contextnet"], W, img0, f0_in, 0, v2)
-    ctx1 = _run_contextnet(nets["contextnet"], W, img1, f1_in, 1, v2)
-    out = _run_fusionnet(nets["fusionnet"], W, img0, img1, flow, ctx0, ctx1)
+    ctx0 = _run_contextnet(nets["contextnet"], cfg, W, img0, f0_in, 0, v2)
+    ctx1 = _run_contextnet(nets["contextnet"], cfg, W, img1, f1_in, 1, v2)
+    out = _run_fusionnet(nets["fusionnet"], cfg, W, img0, img1, flow, ctx0, ctx1)
     if cfg.tta_temporal_mode:
         out_rev = _run_fusionnet(
-            nets["fusionnet"], W, img1, img0, flow_rev, ctx1, ctx0
+            nets["fusionnet"], cfg, W, img1, img0, flow_rev, ctx1, ctx0
         )
         out = frame.out_temporal_avg(out, out_rev)
     return out
@@ -139,7 +147,7 @@ def forward_v1v2(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, pad_h, pad_w):
     def flow_of(ga_img0, ga_img1):
         return _unflatten_views(
             _run_flownet(
-                nets["flownet"], W,
+                nets["flownet"], cfg, W,
                 _flatten_views(ga_img0), _flatten_views(ga_img1), cfg.uhd_mode,
             ),
             b,
@@ -186,19 +194,19 @@ def forward_v1v2(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, pad_h, pad_w):
 V4_TAPS = ("flow0", "flow1", "flow2", "flow3")
 
 
-def _v4_flow_pyramid(ex, W, i0, i1, tplane, pinned_prev):
+def _v4_flow_pyramid(ex, cfg, W, i0, i1, tplane, pinned_prev):
     """Extract tap fi given pinned flow0..flow_{fi-1}
     (ncnn-Extractor re-injection, /root/reference/src/rife.cpp:2657-2669;
     here pinning means XLA never re-executes the prefix)."""
-    ctx = {"w": W["flownet"]}
+    ctx = _mkctx(cfg, W, "flownet")
     inputs = {"in0": i0, "in1": i1, "in2": tplane}
     inputs.update(pinned_prev)
     fi = len(pinned_prev)
     return ex.run(inputs, [V4_TAPS[fi]], ctx)[0]
 
 
-def _v4_out(ex, W, i0, i1, tplane, pinned):
-    ctx = {"w": W["flownet"]}
+def _v4_out(ex, cfg, W, i0, i1, tplane, pinned):
+    ctx = _mkctx(cfg, W, "flownet")
     inputs = {"in0": i0, "in1": i1, "in2": tplane}
     inputs.update(pinned)
     return ex.run(inputs, ["out0"], ctx)[0]
@@ -214,7 +222,7 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
     t = frame.timestep_plane(timestep, b, pad_h, pad_w, cfg.jdtype)
 
     if not cfg.tta_mode and not cfg.tta_temporal_mode:
-        out = _v4_out(ex, W, img0, img1, t, {})
+        out = _v4_out(ex, cfg, W, img0, img1, t, {})
         return frame.postprocess(out, h, w)
 
     if not cfg.tta_mode:
@@ -223,13 +231,13 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
         t_rev = frame.timestep_plane(1.0 - timestep, b, pad_h, pad_w, cfg.jdtype)
         pinned, pinned_rev = {}, {}
         for fi, tap in enumerate(V4_TAPS):
-            f = _v4_flow_pyramid(ex, W, img0, img1, t, pinned)
-            fr = _v4_flow_pyramid(ex, W, img1, img0, t_rev, pinned_rev)
+            f = _v4_flow_pyramid(ex, cfg, W, img0, img1, t, pinned)
+            fr = _v4_flow_pyramid(ex, cfg, W, img1, img0, t_rev, pinned_rev)
             f, fr = frame.flow_temporal_avg_v4(f, fr)
             pinned[tap] = f
             pinned_rev[tap] = fr
-        out = _v4_out(ex, W, img0, img1, t, pinned)
-        out_rev = _v4_out(ex, W, img1, img0, t_rev, pinned_rev)
+        out = _v4_out(ex, cfg, W, img0, img1, t, pinned)
+        out_rev = _v4_out(ex, cfg, W, img1, img0, t_rev, pinned_rev)
         out = frame.out_temporal_avg(out, out_rev)
         return frame.postprocess(out, h, w)
 
@@ -245,7 +253,7 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
 
     def pyramid(i0g, i1g, tg, pinned_flat):
         return _v4_flow_pyramid(
-            ex, W, _flatten_views(i0g), _flatten_views(i1g), tg, pinned_flat
+            ex, cfg, W, _flatten_views(i0g), _flatten_views(i1g), tg, pinned_flat
         )
 
     pins_a, pins_b = {}, {}
@@ -276,14 +284,14 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
             pins_rev_a[tap] = _flatten_views(fra)
             pins_rev_b[tap] = _flatten_views(frb)
 
-    out_a = _v4_out(ex, W, _flatten_views(g0a), _flatten_views(g1a), ta, pins_a)
-    out_b = _v4_out(ex, W, _flatten_views(g0b), _flatten_views(g1b), tb, pins_b)
+    out_a = _v4_out(ex, cfg, W, _flatten_views(g0a), _flatten_views(g1a), ta, pins_a)
+    out_b = _v4_out(ex, cfg, W, _flatten_views(g0b), _flatten_views(g1b), tb, pins_b)
     if cfg.tta_temporal_mode:
         out_rev_a = _v4_out(
-            ex, W, _flatten_views(g1a), _flatten_views(g0a), tra, pins_rev_a
+            ex, cfg, W, _flatten_views(g1a), _flatten_views(g0a), tra, pins_rev_a
         )
         out_rev_b = _v4_out(
-            ex, W, _flatten_views(g1b), _flatten_views(g0b), trb, pins_rev_b
+            ex, cfg, W, _flatten_views(g1b), _flatten_views(g0b), trb, pins_rev_b
         )
         out_a = frame.out_temporal_avg(out_a, out_rev_a)
         out_b = frame.out_temporal_avg(out_b, out_rev_b)

@@ -119,11 +119,19 @@ class RIFE:
 
     # -- jitted step construction ------------------------------------------
 
-    def build_step_fn(self, pad_h: int, pad_w: int):
+    def build_step_fn(self, pad_h: int, pad_w: int, *,
+                      use_pallas: Optional[bool] = None):
         """The raw (unjitted) end-to-end step ``(W, in0, in1, t) -> u8``;
         sharded wrappers in ``rife_tpu.parallel`` re-jit this with mesh
-        shardings."""
+        shardings.  ``use_pallas=False`` forces the XLA warp (required under
+        GSPMD spatial sharding — custom calls cannot be auto-partitioned)."""
         cfg = self.cfg
+        if use_pallas is False:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, extra_ctx=cfg.extra_ctx + (("use_pallas_warp", False),)
+            )
         nets = self.executors
 
         if cfg.family == "v4":

@@ -66,6 +66,11 @@ class ShardedRIFE:
         self.batch_axis = batch_axis
         self.height_axis = height_axis
         self._cache = {}
+        # session weights are committed to one device; replicate them onto
+        # the mesh once
+        self.weights = jax.device_put(
+            session.weights, NamedSharding(mesh, P())
+        )
 
     def _spec_frame(self):
         return P(self.batch_axis, self.height_axis, None, None)
@@ -77,18 +82,49 @@ class ShardedRIFE:
         key = (b, pad_to(h), pad_to(w))
         fn = self._cache.get(key)
         if fn is None:
-            raw = self.session.build_step_fn(pad_to(h), pad_to(w))
             frame_sh = NamedSharding(self.mesh, self._spec_frame())
             t_sh = NamedSharding(self.mesh, self._spec_t())
             repl = NamedSharding(self.mesh, P())
-            fn = jax.jit(
-                raw,
-                in_shardings=(
-                    jax.tree_util.tree_map(lambda _: repl, self.session.weights),
-                    frame_sh, frame_sh, t_sh,
-                ),
-                out_shardings=frame_sh,
-            )
+            if self.height_axis is None:
+                # batch-only sharding: shard_map runs the FULL per-device
+                # program on each device's batch shard — Pallas kernels stay
+                # usable (GSPMD cannot auto-partition custom calls), and no
+                # collectives exist (embarrassingly parallel, like the
+                # reference's per-GPU engines)
+                from jax.experimental.shard_map import shard_map
+
+                raw = self.session.build_step_fn(pad_to(h), pad_to(w))
+                mapped = shard_map(
+                    raw,
+                    mesh=self.mesh,
+                    in_specs=(
+                        jax.tree_util.tree_map(
+                            lambda _: P(), self.session.weights
+                        ),
+                        self._spec_frame(), self._spec_frame(),
+                        self._spec_t(),
+                    ),
+                    out_specs=self._spec_frame(),
+                    check_rep=False,
+                )
+                fn = jax.jit(mapped)
+            else:
+                # spatial (height) sharding: windows cross shard boundaries,
+                # so GSPMD must insert halo exchanges — that requires the
+                # XLA warp (partitionable gather), not the Pallas kernel
+                raw = self.session.build_step_fn(
+                    pad_to(h), pad_to(w), use_pallas=False
+                )
+                fn = jax.jit(
+                    raw,
+                    in_shardings=(
+                        jax.tree_util.tree_map(
+                            lambda _: repl, self.session.weights
+                        ),
+                        frame_sh, frame_sh, t_sh,
+                    ),
+                    out_shardings=frame_sh,
+                )
             self._cache[key] = fn
         return fn
 
@@ -113,7 +149,7 @@ class ShardedRIFE:
             in1 = np.concatenate([in1, np.repeat(in1[-1:], rep, axis=0)])
             ts = np.concatenate([ts, np.repeat(ts[-1:], rep)])
         step = self._get_step(bp, in0.shape[1], in0.shape[2])
-        out = step(self.session.weights, in0, in1, ts)
+        out = step(self.weights, in0, in1, ts)
         return np.asarray(out)[:b]
 
 
