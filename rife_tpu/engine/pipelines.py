@@ -20,7 +20,6 @@ output-equivalent):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
 
 import jax.numpy as jnp
 

@@ -16,15 +16,13 @@ Reference semantics cross-checked against:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..graph.ir import LayerNode
 from ..graph.weights import LayerWeights
 from . import common as C
 

@@ -8,11 +8,9 @@ bug with the JAX path.
 
 from __future__ import annotations
 
-from typing import Dict
 
 import numpy as np
 
-from ..graph.ir import LayerNode
 from ..graph.weights import LayerWeights
 from . import common as C
 

@@ -7,7 +7,6 @@ Goldens are f32 CPU outputs with deterministic synthetic weights
 regenerate goldens only if the change is intentional and understood.
 """
 
-from pathlib import Path
 
 import numpy as np
 import pytest

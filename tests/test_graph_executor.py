@@ -7,7 +7,6 @@ InnerProduct), and ncnn-Extractor-style pinning of intermediate blobs.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

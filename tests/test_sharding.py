@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from rife_tpu.engine.session import RIFE
 from rife_tpu.parallel.sharding import (
