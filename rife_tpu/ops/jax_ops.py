@@ -86,6 +86,70 @@ def deconv2d(x, w_hwio_flipped, bias, *, stride=2, pad=1):
     return y.astype(x.dtype)
 
 
+def space_to_depth(x, r: int = 2):
+    """(B,H,W,C) -> (B,H/r,W/r,r*r*C); channel order (qi, qj, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x, r: int = 2):
+    b, h, w, rrc = x.shape
+    c = rrc // (r * r)
+    x = x.reshape(b, h, w, r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c)
+
+
+def s2d_conv_kernel(w_hwio):
+    """Transform a 3x3 kernel so that
+    ``depth_to_space(conv3x3p1(space_to_depth(x), W2)) == conv3x3p1(x, w)``.
+
+    Narrow-channel full-resolution convs (the v2 fusionnet U-Net runs
+    C=16-32 at 1088x1920 — 1-2% MXU peak) quadruple their channel dims by
+    moving 2x2 pixel blocks into channels; the block conv costs 4x the
+    FLOPs at better lane occupancy.  Exact for stride 1, pad 1, even H/W.
+
+    MEASURED SLOWER on v5e (direct/s2d ms at B=4 bf16: 16ch@1080p 20/40,
+    32ch@1080p 34/44, 64ch@540p 15/20) — XLA's direct conv handles narrow
+    channels better than raw channel-sweep numbers suggested, and the 4x
+    FLOPs + relayout dominate.  Kept (exact + tested) as a documented dead
+    end; do not wire into the executor without new evidence.
+
+    Derivation: output pixel (2m+pi, 2n+pj) tap di reads input row
+    2(m+a)+qi with a=(pi+di-1)//2, qi=(pi+di-1)%2 — every (pi,di) lands in
+    block offset a in {-1,0,1}, so the block conv is again 3x3 with the
+    taps scattered over (block offset, phase) pairs.
+    """
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3
+    w2 = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    w_np = np.asarray(w_hwio, np.float32)
+    for pi in range(2):
+        for di in range(3):
+            u = pi + di - 1
+            a, qi = u // 2, u % 2
+            for pj in range(2):
+                for dj in range(3):
+                    v = pj + dj - 1
+                    bo, qj = v // 2, v % 2
+                    w2[
+                        a + 1, bo + 1,
+                        (qi * 2 + qj) * cin : (qi * 2 + qj + 1) * cin,
+                        (pi * 2 + pj) * cout : (pi * 2 + pj + 1) * cout,
+                    ] += w_np[di, dj]
+    return jnp.asarray(w2, w_hwio.dtype)
+
+
+def conv2d_s2d(x, w2_hwio, bias):
+    """3x3/s1/p1 conv evaluated in space-to-depth form (see
+    ``s2d_conv_kernel``); ``bias`` is the ORIGINAL per-channel bias."""
+    y2 = conv2d(space_to_depth(x), w2_hwio, None, stride=1, pad=1)
+    y = depth_to_space(y2)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def _upsample_axis(x, n: int, axis: int):
     """Exact half-pixel bilinear x``n`` upsample along ``axis`` via phase
     decomposition: out[n*m+p] = (1-f_p)*in[m+d_p] + f_p*in[m+d_p+1].  Pure

@@ -158,3 +158,24 @@ def test_slice_auto_split():
     assert ref[0].shape == (1, 4, 4, 3)
     np.testing.assert_array_equal(np.asarray(got[0]), ref[0])
     np.testing.assert_array_equal(np.asarray(got[1]), ref[1])
+
+
+def test_conv2d_s2d_exact():
+    """Space-to-depth 3x3 conv (round-2 narrow-channel lever) must equal the
+    direct conv bit-for-bit structure-wise (f32, same contraction order up
+    to float assoc -> tight tolerance)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
+    ref = jax_ops.conv2d(x, w, b, stride=1, pad=1)
+    got = jax_ops.conv2d_s2d(x, jax_ops.s2d_conv_kernel(w), b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_roundtrip():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 8, 12, 3)), jnp.float32)
+    y = jax_ops.depth_to_space(jax_ops.space_to_depth(x))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
