@@ -14,9 +14,12 @@ Usage mirrors /root/reference/src/main.cpp:102-121:
   -n num-frame         target frame count (default N*2)
   -s time-step         time step 0~1 (default 0.5)
   -m model-path        model dir or zoo name (default rife-v2.3)
-  -g device-id         device to use (-1=cpu, default=auto); comma list for multi-device
+  -g device-id         device to use (-1=cpu, default=auto); comma list for
+                       independent per-device sessions; 'all' = ONE
+                       mesh-sharded session over every chip (batch axis
+                       sharded via shard_map — the TPU-native scale-out)
   -j load:proc:save    thread counts (default 1:2:2); proc = device batch size here,
-                       comma list per device
+                       comma list per device (with -g all: per-chip batch)
   -x                   spatial TTA
   -z                   temporal TTA
   -u                   UHD mode
@@ -241,13 +244,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .engine.session import RIFE
     from .io.runner import PipelineRunner, Task
 
-    device_ids = parse_int_list(args.deviceids) if args.deviceids else []
-    if not device_ids:
-        device_ids = [0]
-    if len(jobs_proc) not in (0, 1, len(device_ids)):
+    mesh_mode = args.deviceids.strip().lower() == "all"
+    try:
+        device_ids = (
+            [] if mesh_mode else
+            parse_int_list(args.deviceids) if args.deviceids else [0]
+        )
+    except ValueError:
+        print("invalid device", file=sys.stderr)
+        return 255
+    n_sessions = 1 if mesh_mode else len(device_ids)
+    if len(jobs_proc) not in (0, 1, n_sessions):
         print("invalid jobs_proc thread count argument", file=sys.stderr)
         return 255
-    if len(jobs_proc) == 1:
+    if len(jobs_proc) == 1 and not mesh_mode:
         jobs_proc = jobs_proc * len(device_ids)
 
     try:
@@ -258,22 +268,40 @@ def main(argv: Optional[List[str]] = None) -> int:
         # of running without a GPU when Vulkan is unavailable
         accel_devices = jax.devices("cpu")
 
-    sessions = []
-    for did in device_ids:
-        if did == -1:
-            device = jax.devices("cpu")[0]
-        else:
-            if did < 0 or did >= len(accel_devices):
-                print("invalid device", file=sys.stderr)
-                return 255
-            device = accel_devices[did]
-        sessions.append(RIFE(
+    def make_session(device):
+        # fast precision is the default on TPU, exactly as the reference
+        # ships fp16 storage/packed on GPU by default (rife.cpp:132-136);
+        # CPU sessions stay f32 (the goldens/parity path)
+        return RIFE(
             args.model,
             tta_mode=args.tta_mode,
             tta_temporal_mode=args.tta_temporal,
             uhd_mode=args.uhd_mode,
+            dtype="bfloat16" if device.platform == "tpu" else "float32",
             device=device,
-        ))
+        )
+
+    if mesh_mode:
+        # one fused program, frame-pair batch axis sharded across every chip
+        from .parallel.sharding import ShardedRIFE, make_mesh
+
+        sessions = [ShardedRIFE(
+            make_session(accel_devices[0]), make_mesh(accel_devices)
+        )]
+        # -j proc = per-chip batch; the mesh session batches per step
+        per_chip = jobs_proc[0] if jobs_proc else 2
+        jobs_proc = [per_chip * len(accel_devices)]
+    else:
+        sessions = []
+        for did in device_ids:
+            if did == -1:
+                device = jax.devices("cpu")[0]
+            else:
+                if did < 0 or did >= len(accel_devices):
+                    print("invalid device", file=sys.stderr)
+                    return 255
+                device = accel_devices[did]
+            sessions.append(make_session(device))
 
     if any(s.model.any_synthetic for s in sessions):
         print(
@@ -286,6 +314,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         Task(id=i, in0_path=a, in1_path=b, out_path=o, timestep=t)
         for i, (a, b, o, t) in enumerate(jobs)
     ]
+
+    # multi-host directory mode: static task partitioning over hosts
+    # (SURVEY.md §5 — outputs are independently named files, so hosts never
+    # communicate; each rank writes a disjoint subset of the output set).
+    # Enabled via RIFE_TPU_RANK / RIFE_TPU_WORLD, e.g. under mpirun/slurm.
+    try:
+        rank = int(os.environ.get("RIFE_TPU_RANK", "0"))
+        world = int(os.environ.get("RIFE_TPU_WORLD", "1"))
+    except ValueError:
+        print("invalid RIFE_TPU_RANK/RIFE_TPU_WORLD", file=sys.stderr)
+        return 255
+    if world > 1:
+        if not (0 <= rank < world):
+            print("RIFE_TPU_RANK must be in [0, RIFE_TPU_WORLD)", file=sys.stderr)
+            return 255
+        from .parallel.sharding import partition_tasks
+
+        tasks = partition_tasks(tasks, rank, world)
+        if args.verbose:
+            print(f"rank {rank}/{world}: {len(tasks)} of {len(jobs)} tasks",
+                  file=sys.stderr)
     runner = PipelineRunner(
         [s.process_batch for s in sessions],
         jobs_load=jobs_load,

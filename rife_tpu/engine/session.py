@@ -181,12 +181,24 @@ class RIFE:
         runner does exactly that — downloads through a slow link otherwise
         serialize the whole pipeline).
 
+        v1/v2/v3 families interpolate the midpoint only: ``timesteps`` is
+        ignored by the traced step, so any value other than 0.5 is rejected
+        here rather than silently producing the t=0.5 frame (the reference
+        validates the same way in its CLI, main.cpp:670-674).
+
         NB: inputs are device_put straight from the numpy buffers; wrapping
         in jnp.asarray first commits via the default backend and costs
         SECONDS through a tunneled device (measured 11.8s vs 28ms / 44MB).
         """
         if in0.shape != in1.shape:
             raise ValueError(f"frame shape mismatch: {in0.shape} vs {in1.shape}")
+        if self.cfg.family != "v4":
+            ts = np.asarray(timesteps, np.float32)
+            if not np.all(ts == 0.5):
+                raise ValueError(
+                    f"{self.model.name} ({self.cfg.family}) only supports "
+                    f"timestep 0.5; got {np.unique(ts)}"
+                )
         b, h, w, _ = in0.shape
         step = self._get_step(b, h, w)
         return step(

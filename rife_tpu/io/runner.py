@@ -160,6 +160,11 @@ class PipelineRunner:
     def _proc(self, process_batch: Callable, batch_size: int,
               device_fn: Optional[Callable]):
         pending: "OrderedDict[tuple, List[Task]]" = OrderedDict()
+        # shapes for which a full batch has already been submitted: partial
+        # tail batches of those shapes are padded up to batch_size (padding
+        # rows replay the last pair, outputs dropped) so the shutdown flush
+        # never triggers a fresh XLA compile for one leftover frame
+        saw_full: set = set()
         # async path: at most 2 batches in flight (dispatch k+1 while k
         # computes/downloads), downloads drain in order on one thread
         inflight = threading.BoundedSemaphore(2)
@@ -188,6 +193,13 @@ class PipelineRunner:
                 in0 = np.stack([t.in0 for t in batch])
                 in1 = np.stack([t.in1 for t in batch])
                 ts = np.asarray([t.timestep for t in batch], np.float32)
+                if len(batch) >= batch_size:
+                    saw_full.add(shape_key)
+                elif shape_key in saw_full:
+                    rep = batch_size - len(batch)
+                    in0 = np.concatenate([in0, np.repeat(in0[-1:], rep, 0)])
+                    in1 = np.concatenate([in1, np.repeat(in1[-1:], rep, 0)])
+                    ts = np.concatenate([ts, np.repeat(ts[-1:], rep)])
                 if downloads is not None:
                     inflight.acquire()
                     try:

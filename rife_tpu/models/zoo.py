@@ -94,7 +94,12 @@ def net_names_for_family(family: str) -> List[str]:
 
 def load_model(model: str, root: Optional[Path] = None) -> LoadedModel:
     model_dir = resolve_model_dir(model, root)
-    family = sniff_family(model_dir.name)
+    # sniff the FULL resolved path, not just the leaf dir name, so the
+    # result always agrees with the CLI's sniff of the user string (the
+    # reference sniffs the full path once, main.cpp:658-673) — e.g.
+    # ``-m /data/rife-v4-stuff/m/`` must not pass CLI validation as v4 and
+    # then raise here
+    family = sniff_family(str(model_dir))
     loaded = LoadedModel(name=model_dir.name, family=family)
     for net in net_names_for_family(family):
         param_path = model_dir / f"{net}.param"

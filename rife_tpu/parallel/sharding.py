@@ -72,6 +72,10 @@ class ShardedRIFE:
             session.weights, NamedSharding(mesh, P())
         )
 
+    @property
+    def model(self):
+        return self.session.model
+
     def _spec_frame(self):
         return P(self.batch_axis, self.height_axis, None, None)
 
@@ -133,10 +137,11 @@ class ShardedRIFE:
             return 1
         return int(self.mesh.shape[self.batch_axis])
 
-    def process_batch(self, in0, in1, timesteps):
-        """Like RIFE.process_batch but sharded over the mesh.  The batch is
-        padded up to a multiple of the data-axis size (padding rows replay
-        the last pair and are dropped from the output)."""
+    def process_batch_device(self, in0, in1, timesteps):
+        """Dispatch one sharded step and return the on-device padded output
+        array WITHOUT blocking (rows past the input batch are padding).  The
+        batch is padded up to a multiple of the data-axis size (padding rows
+        replay the last pair)."""
         in0 = np.asarray(in0)
         in1 = np.asarray(in1)
         ts = np.asarray(timesteps, np.float32).reshape(in0.shape[0])
@@ -149,7 +154,12 @@ class ShardedRIFE:
             in1 = np.concatenate([in1, np.repeat(in1[-1:], rep, axis=0)])
             ts = np.concatenate([ts, np.repeat(ts[-1:], rep)])
         step = self._get_step(bp, in0.shape[1], in0.shape[2])
-        out = step(self.weights, in0, in1, ts)
+        return step(self.weights, in0, in1, ts)
+
+    def process_batch(self, in0, in1, timesteps):
+        """Like RIFE.process_batch but sharded over the mesh."""
+        b = np.asarray(in0).shape[0]
+        out = self.process_batch_device(in0, in1, timesteps)
         return np.asarray(out)[:b]
 
 

@@ -107,6 +107,43 @@ def test_cli_validation_errors(tmp_path):
                  "-j", "0:1:1"]) == 255
 
 
+def test_cli_multihost_ranks_produce_disjoint_complete_outputs(tmp_path, monkeypatch):
+    """Multi-host directory mode: two ranks (RIFE_TPU_RANK/WORLD) must write
+    disjoint subsets whose union is the full output set (SURVEY.md §5 static
+    file-range partitioning — no inter-host communication)."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    write_frames(ind, n=3)
+    argv_base = ["-i", str(ind), "-m", "rife-v4.6", "-n", "6", "-g", "-1"]
+    written = {}
+    monkeypatch.setenv("RIFE_TPU_WORLD", "2")
+    for rank in (0, 1):
+        outd = tmp_path / f"out{rank}"
+        outd.mkdir()
+        monkeypatch.setenv("RIFE_TPU_RANK", str(rank))
+        assert main(argv_base + ["-o", str(outd)]) == 0
+        written[rank] = set(os.listdir(outd))
+    assert written[0] and written[1]
+    assert written[0].isdisjoint(written[1])
+    assert written[0] | written[1] == {f"{i:08d}.png" for i in range(1, 7)}
+
+
+def test_cli_sniffs_family_from_resolved_path(tmp_path):
+    """-m pointing at a dir whose LEAF name isn't a rife name must still
+    sniff from the full path (cli and loader agree; VERDICT weak #7)."""
+    import shutil
+
+    src = Path("/root/reference/models/rife-v4.6")
+    dst = tmp_path / "rife-v4-stuff" / "m"
+    dst.mkdir(parents=True)
+    shutil.copy(src / "flownet.param", dst / "flownet.param")
+    write_frames(tmp_path, n=2)
+    out = tmp_path / "mid.png"
+    rc = main(["-0", str(tmp_path / "000.png"), "-1", str(tmp_path / "001.png"),
+               "-o", str(out), "-m", str(dst), "-g", "-1"])
+    assert rc == 0 and out.exists()
+
+
 def test_cli_multiframe_single_pair(tmp_path):
     """Extension: -0/-1 + directory output + -n N produces N frames at
     evenly spaced timesteps (v4 only)."""

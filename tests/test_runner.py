@@ -66,7 +66,34 @@ def test_runner_async_device_path(frames, tmp_path):
     errors = runner.run(_tasks(frames, out, 11))
     assert errors == []
     assert len(list(out.iterdir())) == 11
-    assert sum(calls) == 11  # all frames went through the device fn
+    # 11 tasks -> 2 full batches + tail of 3 PADDED to 4 (a partial shape
+    # would trigger a fresh XLA compile for one leftover frame)
+    assert calls == [4, 4, 4]
+
+
+def test_runner_tail_batch_padded_to_one_shape(frames, tmp_path):
+    """N % batch != 0 must not produce a second batch shape once a full
+    batch has been seen — but a run smaller than one batch must NOT be
+    padded up (no reason to compile a bigger shape than the workload)."""
+    out = tmp_path / "out"
+    out.mkdir()
+    shapes = []
+
+    def fn(in0, in1, ts):
+        shapes.append(in0.shape)
+        return _mean_blend(in0, in1, ts)
+
+    runner = PipelineRunner([fn], batch_size=4)
+    assert runner.run(_tasks(frames, out, 10)) == []
+    assert len(list(out.iterdir())) == 10
+    assert {s[0] for s in shapes} == {4}  # one compiled batch shape
+
+    shapes.clear()
+    out2 = tmp_path / "out2"
+    out2.mkdir()
+    runner = PipelineRunner([fn], batch_size=4)
+    assert runner.run(_tasks(frames, out2, 3)) == []
+    assert [s[0] for s in shapes] == [3]  # sub-batch run stays unpadded
 
 
 def test_runner_async_error_capture(frames, tmp_path):

@@ -51,6 +51,102 @@ def shader_flow_tta_avg(views):
     return out
 
 
+# --- oracle: literal transcription of rife_v2_flow_tta_avg.comp ------------
+
+def shader_v2_flow_tta_avg(views):
+    """views: 8 numpy arrays; [0..3] (H,W,4), [4..7] (W,H,4).  Literal
+    transcription of rife_v2_flow_tta_avg.comp:36-56 (vec4 = two flow pairs,
+    second pair z/w follows the same sign algebra as x/y)."""
+    H, W, _ = views[0].shape
+    out = [v.copy() for v in views]
+    for gy in range(H):
+        for gx in range(W):
+            v0 = views[0][gy, gx]
+            v1 = views[1][gy, W - 1 - gx]
+            v2 = views[2][H - 1 - gy, W - 1 - gx]
+            v3 = views[3][H - 1 - gy, gx]
+            v4 = views[4][gx, gy]
+            v5 = views[5][gx, H - 1 - gy]
+            v6 = views[6][W - 1 - gx, H - 1 - gy]
+            v7 = views[7][W - 1 - gx, gy]
+            x = (v0[0] - v1[0] - v2[0] + v3[0] + v4[1] + v5[1] - v6[1] - v7[1]) * 0.125
+            y = (v0[1] + v1[1] - v2[1] - v3[1] + v4[0] - v5[0] - v6[0] + v7[0]) * 0.125
+            z = (v0[2] - v1[2] - v2[2] + v3[2] + v4[3] + v5[3] - v6[3] - v7[3]) * 0.125
+            w = (v0[3] + v1[3] - v2[3] - v3[3] + v4[2] - v5[2] - v6[2] + v7[2]) * 0.125
+            out[0][gy, gx] = (x, y, z, w)
+            out[1][gy, W - 1 - gx] = (-x, y, -z, w)
+            out[2][H - 1 - gy, W - 1 - gx] = (-x, -y, -z, -w)
+            out[3][H - 1 - gy, gx] = (x, -y, z, -w)
+            out[4][gx, gy] = (y, x, w, z)
+            out[5][gx, H - 1 - gy] = (-y, x, -w, z)
+            out[6][W - 1 - gx, H - 1 - gy] = (-y, -x, -w, -z)
+            out[7][W - 1 - gx, gy] = (y, -x, w, -z)
+    return out
+
+
+# --- oracle: literal transcription of rife_v4_flow_tta_avg.comp ------------
+
+def shader_v4_flow_tta_avg(views):
+    """views: 8 numpy arrays; [0..3] (H,W,5), [4..7] (W,H,5).  Literal
+    transcription of rife_v4_flow_tta_avg.comp:35-129 (4 flow channels as in
+    v2, 5th channel = mask averaged and scattered WITHOUT sign)."""
+    H, W, _ = views[0].shape
+    out = [v.copy() for v in views]
+    for gy in range(H):
+        for gx in range(W):
+            v0 = views[0][gy, gx]
+            v1 = views[1][gy, W - 1 - gx]
+            v2 = views[2][H - 1 - gy, W - 1 - gx]
+            v3 = views[3][H - 1 - gy, gx]
+            v4 = views[4][gx, gy]
+            v5 = views[5][gx, H - 1 - gy]
+            v6 = views[6][W - 1 - gx, H - 1 - gy]
+            v7 = views[7][W - 1 - gx, gy]
+            x = (v0[0] + -v1[0] + -v2[0] + v3[0] + v4[1] + v5[1] + -v6[1] + -v7[1]) * 0.125
+            y = (v0[1] + v1[1] + -v2[1] + -v3[1] + v4[0] + -v5[0] + -v6[0] + v7[0]) * 0.125
+            z = (v0[2] + -v1[2] + -v2[2] + v3[2] + v4[3] + v5[3] + -v6[3] + -v7[3]) * 0.125
+            w = (v0[3] + v1[3] + -v2[3] + -v3[3] + v4[2] + -v5[2] + -v6[2] + v7[2]) * 0.125
+            m = (v0[4] + v1[4] + v2[4] + v3[4] + v4[4] + v5[4] + v6[4] + v7[4]) * 0.125
+            out[0][gy, gx] = (x, y, z, w, m)
+            out[1][gy, W - 1 - gx] = (-x, y, -z, w, m)
+            out[2][H - 1 - gy, W - 1 - gx] = (-x, -y, -z, -w, m)
+            out[3][H - 1 - gy, gx] = (x, -y, z, -w, m)
+            out[4][gx, gy] = (y, x, w, z, m)
+            out[5][gx, H - 1 - gy] = (-y, x, -w, z, m)
+            out[6][W - 1 - gx, H - 1 - gy] = (-y, -x, -w, -z, m)
+            out[7][W - 1 - gx, gy] = (y, -x, w, -z, m)
+    return out
+
+
+def _run_views_avg(views, n_pairs, has_mask):
+    ga = jnp.stack([jnp.asarray(v) for v in views[:4]])[None]
+    gb = jnp.stack([jnp.asarray(v) for v in views[4:]])[None]
+    na, nb = frame.flow_views_avg(ga, gb, n_pairs=n_pairs, has_mask=has_mask)
+    return np.asarray(na)[0], np.asarray(nb)[0]
+
+
+def test_flow_views_avg_matches_v2_shader_oracle():
+    H, W = 5, 7
+    views = [RNG.normal(size=(H, W, 4)).astype(np.float32) for _ in range(4)]
+    views += [RNG.normal(size=(W, H, 4)).astype(np.float32) for _ in range(4)]
+    expected = shader_v2_flow_tta_avg(views)
+    na, nb = _run_views_avg(views, n_pairs=2, has_mask=False)
+    for k in range(4):
+        np.testing.assert_allclose(na[k], expected[k], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(nb[k], expected[4 + k], rtol=1e-5, atol=1e-6)
+
+
+def test_flow_views_avg_matches_v4_shader_oracle():
+    H, W = 6, 4
+    views = [RNG.normal(size=(H, W, 5)).astype(np.float32) for _ in range(4)]
+    views += [RNG.normal(size=(W, H, 5)).astype(np.float32) for _ in range(4)]
+    expected = shader_v4_flow_tta_avg(views)
+    na, nb = _run_views_avg(views, n_pairs=2, has_mask=True)
+    for k in range(4):
+        np.testing.assert_allclose(na[k], expected[k], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(nb[k], expected[4 + k], rtol=1e-5, atol=1e-6)
+
+
 def test_expand_views_geometry():
     x = RNG.normal(size=(1, 5, 7, 3)).astype(np.float32)
     ga, gb = frame.expand_views8(jnp.asarray(x))
@@ -133,9 +229,19 @@ def test_temporal_merges():
         np.asarray(mr4), np.concatenate([exp[..., 2:], exp[..., :2]], -1), rtol=1e-6
     )
 
+    # v4 temporal: literal rife_v4_flow_tta_temporal_avg.comp algebra —
+    # x=(x+z_rev)/2, y=(y+w_rev)/2, z=(z+x_rev)/2, w=(w+y_rev)/2,
+    # m=(m-m_rev)/2; reversed blob gets (z,w,x,y,-m)
     f5 = RNG.normal(size=(1, 4, 4, 5)).astype(np.float32)
     fr5 = RNG.normal(size=(1, 4, 4, 5)).astype(np.float32)
     m5, mr5 = frame.flow_temporal_avg_v4(jnp.asarray(f5), jnp.asarray(fr5))
+    exp_flow = (f5[..., :4] + np.concatenate([fr5[..., 2:4], fr5[..., :2]], -1)) / 2
+    np.testing.assert_allclose(np.asarray(m5)[..., :4], exp_flow, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mr5)[..., :4],
+        np.concatenate([exp_flow[..., 2:4], exp_flow[..., :2]], -1),
+        rtol=1e-6,
+    )
     np.testing.assert_allclose(
         np.asarray(m5)[..., 4], (f5[..., 4] - fr5[..., 4]) / 2, rtol=1e-6
     )
