@@ -16,9 +16,12 @@ upstream RIFE paper reports ~30 FPS for 2x 720p on an RTX 2080 Ti; scaled by
 pixel count to 1080p that is 30 * (1280*720)/(1920*1080) = 13.3 FPS.  The
 driver target (>=4x on a v5e-4) corresponds to vs_baseline >= 1.0 per chip.
 
-Weights are synthetic (no flownet.bin ships in this mount), calibrated to
-realistic ~10 px flows (rife_tpu/models/calibrate.py) so the flow-adaptive
-warp kernel sees representative work.
+Weights are synthetic (no flownet.bin ships in this mount), synthesized in
+``mix`` mode and magnitude-calibrated (rife_tpu/models/calibrate.py) so the
+flow fields match the SPATIAL statistics of trained-RIFE flows — smooth,
+~2-6 px std (tools/flow_stats.py) — and the flow-adaptive warp kernel sees
+representative work.  The adversarial spatially-white `iid` mode remains
+available via RIFE_TPU_SYNTH_MODE (worst-case row in BASELINE.md).
 """
 
 from __future__ import annotations

@@ -140,10 +140,23 @@ def _seed_for(tag: str) -> int:
 # level through the residual trunks, ending at ~3e4 px "flows").  Produced by
 # ``python -m rife_tpu.models.calibrate``.
 SYNTHETIC_FLOWNET_SCALE = {
-    "rife": 1.0657, "rife-HD": 0.9277, "rife-UHD": 1.0055,
-    "rife-anime": 1.0283, "rife-v2": 1.1191, "rife-v2.3": 1.1117,
-    "rife-v2.4": 1.1164, "rife-v3.0": 0.9184, "rife-v3.1": 0.9208,
-    "rife-v4": 0.9964, "rife-v4.6": 0.6954,
+    "rife": 0.9512, "rife-HD": 0.9712, "rife-UHD": 0.9179,
+    "rife-anime": 0.924, "rife-v2": 1.3172, "rife-v2.3": 1.1953,
+    "rife-v2.4": 1.2594, "rife-v3.0": 1.1814, "rife-v3.1": 1.1601,
+    "rife-v4": 1.0579, "rife-v4.6": 0.7155,
+}
+
+
+# Global multipliers for synthetic fusionnets (flow-rendering U-Nets),
+# calibrated so the final u8 output std is image-like (~60) instead of a
+# saturated clip(residual-1) black frame — the unnormalized ~14-layer U-Net
+# compounds per-layer gain just like the flownets.  Only the fusionnet is
+# ever synthetic besides the flownet: all nine v1/v2 contextnet.bin files
+# ship in the mount.  Produced by ``python -m rife_tpu.models.calibrate``.
+SYNTHETIC_FUSIONNET_SCALE = {
+    "rife": 1.0, "rife-HD": 1.0, "rife-UHD": 1.0,
+    "rife-anime": 1.0, "rife-v2": 1.0, "rife-v2.3": 1.0,
+    "rife-v2.4": 1.0, "rife-v3.0": 1.0, "rife-v3.1": 1.0,
 }
 
 
@@ -151,30 +164,109 @@ def _weight_scale_for(tag: str) -> float:
     model, _, net = tag.partition("/")
     if net == "flownet":
         return SYNTHETIC_FLOWNET_SCALE.get(model, 1.0)
+    if net == "fusionnet":
+        return SYNTHETIC_FUSIONNET_SCALE.get(model, 1.0)
     return 1.0
 
 
+def _binomial_envelope(k: int) -> np.ndarray:
+    """k x k normalized binomial (approx. Gaussian) low-pass stencil."""
+    import math
+
+    row = np.array([math.comb(k - 1, i) for i in range(k)], np.float64)
+    g = np.outer(row, row)
+    return (g / g.sum()).astype(np.float32)
+
+
+def _synth_mode() -> str:
+    """Spatial structure of synthetic conv weights:
+
+    * ``iid``      — He-init iid taps.  Cascaded iid 3x3 kernels act as
+      random HIGH-PASS filters, so the synthetic "flow" fields come out
+      spatially white (per-8x128-stripe y-spread ~30-80 px at 1080p) — no
+      trained RIFE model produces that, and it is adversarial for any
+      flow-adaptive sampler while leaving flow-independent samplers (the
+      reference GPU warp) untouched.
+    * ``env`` — each kernel is a normalized binomial low-pass envelope
+      times an iid per-(out,in) channel-mixing coefficient: the layer is
+      blur + random channel mix, so outputs stay spatially smooth by
+      construction and the synthetic flows match the smooth local
+      statistics of real RIFE flows (magnitude is still calibrated to
+      ~6 px by SYNTHETIC_FLOWNET_SCALE).
+    * ``env+tie4`` (default) — ``env`` plus deconv output channels tied in
+      groups of 4, so a PixelShuffle x2 head interleaves 4 identical mixes
+      instead of 4 unrelated ones (avoiding a pixel-level checkerboard in
+      the flow).  Measured stripe y-spread at 256x512, comparable flow std:
+      iid ~70 rows, env ~12, env+tie4 ~4 — real RIFE flows are ~2-4.
+
+    * ``mix`` (default) — delta spatial taps for convolutions (pure random
+      channel mixing: layer gain is independent of input smoothness, so the
+      calibrated scale transfers across resolutions) + binomial envelope for
+      deconvolutions (the k=4 s2 stencil is the bilinear x2 kernel) + the
+      tie4 grouping.  Measured stripe y-spread at matched ~6 px flow std:
+      iid ~70 rows, env ~12, env+tie4/mix ~4-5 — real RIFE flows are ~2-4.
+
+    Override with RIFE_TPU_SYNTH_MODE for experiments / the adversarial
+    worst-case bench row.
+    """
+    import os
+
+    return os.environ.get("RIFE_TPU_SYNTH_MODE", "mix")
+
+
 def synthesize_weights(graph: Graph, tag: str) -> Dict[str, LayerWeights]:
-    """Deterministic He-style random weights for graphs whose .bin is absent
-    in this mount (see /root/reference/.MISSING_LARGE_BLOBS).
+    """Deterministic random weights for graphs whose .bin is absent in this
+    mount (see /root/reference/.MISSING_LARGE_BLOBS).
 
     Shapes/dtypes are exactly what ``load_bin`` would produce, so the rest of
-    the stack is oblivious to whether weights are real or synthetic.
+    the stack is oblivious to whether weights are real or synthetic.  See
+    ``_synth_mode`` for the spatial structure (smooth by default, so the
+    synthetic flow fields are representative of trained-model flows).
     """
     out: Dict[str, LayerWeights] = {}
     wscale = _weight_scale_for(tag)
+    mode = _synth_mode()
     for node in graph.nodes:
         rng = np.random.default_rng(_seed_for(f"{tag}:{node.name}"))
         if node.type in ("Convolution", "Deconvolution"):
             out_ch, in_ch, k = _conv_shapes(node)
             fan_in = in_ch * k * k
-            std = float(np.sqrt(2.0 / fan_in)) * wscale
             shape = (
                 (out_ch, in_ch, k, k)
                 if node.type == "Convolution"
                 else (in_ch, out_ch, k, k)
             )
-            w = rng.normal(0.0, std, size=shape).astype(np.float32)
+            if mode == "iid":
+                std = float(np.sqrt(2.0 / fan_in)) * wscale
+                w = rng.normal(0.0, std, size=shape).astype(np.float32)
+            else:
+                std = float(np.sqrt(2.0 / in_ch)) * wscale
+                mix = rng.normal(0.0, std, size=(out_ch, in_ch)).astype(
+                    np.float32
+                )
+                if (
+                    mode in ("env+tie4", "mix")
+                    and node.type == "Deconvolution"
+                    and out_ch % 4 == 0
+                ):
+                    mix = np.repeat(mix[::4], 4, axis=0)
+                if mode == "mix" and node.type == "Convolution":
+                    # pure channel mixing (delta spatial tap): layer gain is
+                    # exactly ||mix|| regardless of input smoothness, so the
+                    # calibrated scale transfers across resolutions (blur
+                    # envelopes attenuate rough inputs more than smooth ones,
+                    # which compounds into a resolution-dependent explosion
+                    # through ~20 unnormalized layers)
+                    env = np.zeros((k, k), np.float32)
+                    env[(k - 1) // 2, (k - 1) // 2] = 1.0
+                else:
+                    # deconvs keep the binomial envelope: for k=4 s2 it is
+                    # the bilinear x2 stencil, which upsamples smoothly (a
+                    # delta deconv would write zeros at odd positions)
+                    env = _binomial_envelope(k)
+                w = mix[:, :, None, None] * env[None, None]
+                if node.type == "Deconvolution":
+                    w = np.ascontiguousarray(np.swapaxes(w, 0, 1))
             b = (
                 np.zeros(out_ch, dtype=np.float32)
                 if int(node.p(5)) == 1

@@ -432,6 +432,124 @@ def _warp_kernel_u8(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
         o2_ref[0, :, sl] = (a2 * scale).astype(o2_ref.dtype)
 
 
+def _warp_kernel_u8_delta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                          o0_ref, o1_ref, o2_ref, img_ref, sem, *,
+                          nt_w: int, h_max: int, w_max: int):
+    """u8-quad DELTA-ROLL variant — the smooth-flow fast path.
+
+    The band kernel iterates source row-BANDS and matches each of a band's 8
+    rows against the stripe one-hot-style, so its row-iteration count is
+    ``(ceil(spread/8)+1) * 8`` even when the stripe's y-spread is 2.  This
+    kernel iterates the row DELTA ``d = y0 - (stripe_row)`` instead: for
+    each d it builds the diagonal 8-row window ``W[s] = img[Y+s+d]`` (two
+    aligned band loads + one dynamic sublane roll) and serves all 8 output
+    sublanes with ONE per-sublane lane-gather, so the iteration count is the
+    exact y-spread + 2.  At the smooth flows real RIFE weights produce
+    (spread ~2-6 rows/stripe) that is a ~2-4x reduction; at adversarial
+    white-noise flows it degrades to parity with the band kernel.
+
+    The image is staged into VMEM with an 8-row offset on top (and 16 rows
+    of slack at the bottom) so the two aligned 8-row loads around any needed
+    window stay in-bounds even at the frame borders; border contributions
+    read garbage rows there but their bilinear weights are exactly zero
+    (y0/y1 are clamped, so no element maps outside [0, h-1])."""
+    hp_pad = img_ref.shape[0]  # staged height = 8 + hp + slack
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            img_hbm.at[pl.program_id(0)],
+            img_ref.at[pl.ds(TH, img_hbm.shape[1])],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    base_y = pl.program_id(1) * TH
+
+    def unpack3(g):
+        c0 = (g & 0xFF).astype(jnp.float32)
+        c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        return c0, c1, c2
+
+    srow = lax.broadcasted_iota(jnp.int32, (TH, LANE), 0) + base_y
+
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
+        alpha = a_ref[0, :, sl]
+        beta = b_ref[0, :, sl]
+        w00 = (1.0 - alpha) * (1.0 - beta)
+        w01 = alpha * (1.0 - beta)
+        w10 = (1.0 - alpha) * beta
+        w11 = alpha * beta
+
+        d0 = y0 - srow
+        d1 = y1 - srow
+        d_lo = jnp.min(d0)
+        d_hi = jnp.max(d1)
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+
+        def delta_body(d, accs):
+            # window rows img[base_y+d .. base_y+d+7] live at staged rows
+            # base+8..base+15; load the two aligned bands around them and
+            # roll so W[s] = img[base_y + s + d]
+            staged = base_y + d + TH
+            b0 = (staged // TH) * TH
+            off = staged - b0
+
+            def tile_body(t, accs):
+                a0, a1, a2 = accs
+                ab = img_ref[
+                    pl.ds(pl.multiple_of(b0, TH), 2 * TH),
+                    pl.ds(t * LANE, LANE),
+                ]
+                w16 = pltpu.roll(ab, shift=-off, axis=0)
+                win = w16[:TH, :]
+                lx0 = x0 - t * LANE
+                lx1 = x1 - t * LANE
+                ok0 = (lx0 >= 0) & (lx0 < LANE)
+                ok1 = (lx1 >= 0) & (lx1 < LANE)
+                lx0c = jnp.clip(lx0, 0, LANE - 1)
+                lx1c = jnp.clip(lx1, 0, LANE - 1)
+                zero = jnp.zeros_like(w00)
+                m0 = (d0 == d)
+                m1 = (d1 == d)
+                g0 = jnp.take_along_axis(win, lx0c, axis=1)
+                g1 = jnp.take_along_axis(win, lx1c, axis=1)
+                wg0 = (
+                    jnp.where(m0 & ok0, w00, zero)
+                    + jnp.where(m1 & ok0, w10, zero)
+                )
+                wg1 = (
+                    jnp.where(m0 & ok1, w01, zero)
+                    + jnp.where(m1 & ok1, w11, zero)
+                )
+                r0, g0c, b0c = unpack3(g0)
+                r1, g1c, b1c = unpack3(g1)
+                a0 = a0 + r0 * wg0 + r1 * wg1
+                a1 = a1 + g0c * wg0 + g1c * wg1
+                a2 = a2 + b0c * wg0 + b1c * wg1
+                return (a0, a1, a2)
+
+            return lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+        zeros = jnp.zeros((TH, LANE), jnp.float32)
+        a0, a1, a2 = lax.fori_loop(
+            d_lo, d_hi + 1, delta_body, (zeros, zeros, zeros)
+        )
+        scale = jnp.float32(1.0 / 255.0)
+        o0_ref[0, :, sl] = (a0 * scale).astype(o0_ref.dtype)
+        o1_ref[0, :, sl] = (a1 * scale).astype(o1_ref.dtype)
+        o2_ref[0, :, sl] = (a2 * scale).astype(o2_ref.dtype)
+    del hp_pad
+
+
 def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
                          o0_ref, o1_ref, o2_ref,
                          slab, acc0, acc1, acc2, sem, *,
@@ -550,8 +668,9 @@ def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
 
 
-def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool):
-    """Shared host-side driver for both u8-quad variants."""
+def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
+                             delta_mode: bool = False):
+    """Shared host-side driver for the u8-quad variants."""
     b, h, w, c = image.shape
     out_dtype = image.dtype
     hp, wp = _round_up(h, TH), _round_up(w, LANE)
@@ -604,6 +723,16 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool):
             pltpu.VMEM((TH, wp), jnp.float32),   # acc b
             pltpu.SemaphoreType.DMA,
         ]
+    elif delta_mode:
+        kernel = functools.partial(
+            _warp_kernel_u8_delta, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        )
+        scratch = [
+            # staged at +8 rows with 16 rows of bottom slack so the two
+            # aligned band loads around any window stay in-bounds
+            pltpu.VMEM((hp + 3 * TH, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     else:
         kernel = functools.partial(
             _warp_kernel_u8, nt_w=nt_w, h_max=h - 1, w_max=w - 1
@@ -630,24 +759,42 @@ def fits_vmem(h: int, w: int) -> bool:
     return _round_up(h, TH) * _round_up(w, LANE) * 4 <= _VMEM_IMAGE_LIMIT
 
 
-@functools.partial(jax.jit, static_argnames=("u8_origin",))
-def warp_pallas(image, flow, u8_origin: bool = False):
+@functools.partial(jax.jit, static_argnames=("u8_origin", "u8_variant"))
+def warp_pallas(image, flow, u8_origin: bool = False,
+                u8_variant: str = "auto"):
     """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
 
     ``u8_origin=True`` asserts the image values are u8/255 (the input
-    frames and their Split copies) — those take the lossless u8-quad kernel
-    (4 channels per i32 gather word, one plane per batch element), with the
-    VMEM-resident variant up to ~1080p and the slab-streaming variant at any
-    larger size (UHD/4K).  Otherwise bf16 images take the pair-packed kernel
-    (2 channels per word) and other dtypes the per-plane f32 kernel; both
-    require the plane to fit VMEM (callers fall back to the XLA gather)."""
+    frames and their Split copies) — those take the lossless u8-quad kernels
+    (4 channels per i32 gather word, one plane per batch element):
+
+    * ``delta`` (default while the image fits VMEM) — the delta-roll kernel,
+      whose iteration count is the stripe's exact y-spread: fastest at the
+      smooth flows trained RIFE weights produce, parity at white-noise ones;
+    * ``band``  — the row-band one-hot kernel (kept for comparison and as
+      the building block of the slab variant);
+    * ``slab``  — band-looped slab streaming at any size (UHD/4K: 17 ms vs
+      the XLA gather's 44 s).
+
+    Otherwise bf16 images take the pair-packed kernel (2 channels per word)
+    and other dtypes the per-plane f32 kernel; both require the plane to fit
+    VMEM (callers fall back to the XLA gather)."""
     if u8_origin and image.shape[-1] <= 4:
-        # resident image wins when it fits VMEM (the slab variant re-DMAs
-        # each source band per output stripe: +3% on the B=8 1080p step);
-        # slab streaming takes over beyond the ceiling (4K: 17ms vs the
-        # XLA gather's 44s)
-        slab = not fits_vmem(image.shape[1], image.shape[2])
-        return _warp_pallas_u8_impl_any(image, flow, slab_mode=slab)
+        variant = u8_variant
+        if variant == "auto":
+            # band ties delta at smooth flows (both sit on the per-stripe
+            # dispatch floor, measured 7.5 vs 7.9 ms at 1080p) and is 3x
+            # more robust at adversarial white-noise flows, where delta's
+            # per-iteration roll costs ~3x a band row-iteration
+            variant = (
+                "band" if fits_vmem(image.shape[1], image.shape[2])
+                else "slab"
+            )
+        return _warp_pallas_u8_impl_any(
+            image, flow,
+            slab_mode=variant == "slab",
+            delta_mode=variant == "delta",
+        )
     if image.dtype == jnp.bfloat16:
         return _warp_pallas_packed_impl(image, flow)
     return _warp_pallas_impl(image, flow)

@@ -29,7 +29,12 @@ def test_data_parallel_matches_single_device():
     ts = np.linspace(0.1, 0.9, 8).astype(np.float32)
     out_sharded = sh.process_batch(in0, in1, ts)
     out_single = s.process_batch(in0, in1, ts)
-    np.testing.assert_array_equal(out_sharded, out_single)
+    # float reassociation across the sharded program can land a value on the
+    # other side of the *255+0.5 rounding boundary for isolated pixels —
+    # allow off-by-one u8 on <0.1% of pixels, nothing more
+    diff = np.abs(out_sharded.astype(np.int16) - out_single.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
 
 
 def test_data_parallel_pads_partial_batch():

@@ -61,6 +61,23 @@ def test_warp_pallas_u8_quad():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["band", "delta"])
+@pytest.mark.parametrize("scale", [5, 60])  # 60 px at 16 rows: heavy clamping
+def test_warp_pallas_u8_variants_match_oracle(variant, scale):
+    """Both u8-quad kernels (row-band one-hot and delta-roll) are
+    shader-exact, including at borders where y0/y1 clamp."""
+    u8 = RNG.integers(0, 256, (1, 16, 128, 3)).astype(np.uint8)
+    img = (u8.astype(np.float32) / 255.0).astype(np.float32)
+    flow = (RNG.normal(size=(1, 16, 128, 2)) * scale).astype(np.float32)
+    ref = numpy_ref.warp(img, flow)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            warp_pallas(jnp.asarray(img), jnp.asarray(flow),
+                        u8_origin=True, u8_variant=variant)
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_warp_pallas_u8_quad_bf16_roundtrip():
     """bf16 storage of u8/255 values still recovers the exact u8 on requant
     (|bf16 rel err| < 2^-9 keeps round(v*255) exact for all 256 codes)."""
