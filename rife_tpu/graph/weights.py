@@ -154,9 +154,9 @@ SYNTHETIC_FLOWNET_SCALE = {
 # ever synthetic besides the flownet: all nine v1/v2 contextnet.bin files
 # ship in the mount.  Produced by ``python -m rife_tpu.models.calibrate``.
 SYNTHETIC_FUSIONNET_SCALE = {
-    "rife": 1.0, "rife-HD": 1.0, "rife-UHD": 1.0,
-    "rife-anime": 1.0, "rife-v2": 1.0, "rife-v2.3": 1.0,
-    "rife-v2.4": 1.0, "rife-v3.0": 1.0, "rife-v3.1": 1.0,
+    "rife": 1.6218, "rife-HD": 0.9866, "rife-UHD": 0.9866,
+    "rife-anime": 0.8435, "rife-v2": 1.6218, "rife-v2.3": 0.3038,
+    "rife-v2.4": 0.427, "rife-v3.0": 0.702, "rife-v3.1": 0.427,
 }
 
 

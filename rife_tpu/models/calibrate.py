@@ -145,20 +145,27 @@ def calibrate_fusionnet(model_name: str):
         out = np.asarray(step(scale_fusion(session.weights, s), in0, in1, ts))
         return float(out.std())
 
-    lo, hi = 0.05, 32.0
-    for _ in range(14):
-        mid = (lo * hi) ** 0.5
-        if eval_scale(mid) > TARGET_OUT_STD:
-            hi = mid
-        else:
-            lo = mid
+    # the response is NON-monotone: tiny scale collapses to the black
+    # clip(residual-1) frame (std~0), huge scale saturates to a constant
+    # frame (std~0 again), with an image-like sweet region in between —
+    # sweep a log grid and refine around the best point
+    def sweep(points):
+        best_s, best_err, best_std = None, float("inf"), 0.0
+        for s in points:
+            std = eval_scale(float(s))
+            err = abs(std - TARGET_OUT_STD)
+            if err < best_err:
+                best_s, best_err, best_std = float(s), err, std
+        return best_s, best_std
+
+    coarse, _ = sweep(np.geomspace(0.05, 32.0, 14))
+    fine, std = sweep(np.geomspace(coarse / 1.6, coarse * 1.6, 7))
     # fold in whatever scale is currently baked (session weights already
-    # include it, so `mid` here is a multiplier on top of it)
+    # include it, so the searched value is a multiplier on top of it)
     from ..graph.weights import SYNTHETIC_FUSIONNET_SCALE
 
     baked = SYNTHETIC_FUSIONNET_SCALE.get(model_name, 1.0)
-    final = round(baked * (lo * hi) ** 0.5, 4)
-    return final, eval_scale((lo * hi) ** 0.5)
+    return round(baked * fine, 4), std
 
 
 def main():

@@ -19,6 +19,7 @@ CONFIGS = [
     ("v4.6 1080p -x TTA B=1", "rife-v4.6", {"tta_mode": True}, (1080, 1920), 1, 3),
     ("v4.6 1080p -z TTA B=2", "rife-v4.6", {"tta_temporal_mode": True}, (1080, 1920), 2, 3),
     ("v2.3 1080p -x TTA B=1", "rife-v2.3", {"tta_mode": True}, (1080, 1920), 1, 3),
+    ("v2.3 4K UHD -u B=1", "rife-v2.3", {"uhd_mode": True}, (2160, 3840), 1, 2),
 ]
 
 
