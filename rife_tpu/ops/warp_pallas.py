@@ -163,7 +163,19 @@ def _warp_pallas_impl(image, flow):
             b * c, h, w
         )
     )
-    operands = [pad2(v) for v in (y0, x0, alpha, beta)]
+    # EDGE-pad the index/weight operands: zero-padding poisons the padded
+    # columns' y0/x0 with 0, dragging every window's dynamic band/tile range
+    # down to the frame origin — at widths that aren't lane multiples (e.g.
+    # the 1088-wide transposed TTA group) the last window of every stripe
+    # then walks the whole frame (measured 10x: 171 ms vs 17 ms at B=4).
+    # Padded outputs are garbage and cropped; only the ranges matter.
+    def pad2_edge(x):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            mode="edge",
+        )
+
+    operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b * c, hp // TH)
     img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -301,7 +313,19 @@ def _warp_pallas_packed_impl(image, flow):
     pairs = image.astype(jnp.bfloat16).reshape(b, h, w, c2, 2)
     words = lax.bitcast_convert_type(pairs, jnp.int32)
     words = pad2(words.transpose(0, 3, 1, 2).reshape(b * c2, h, w))
-    operands = [pad2(v) for v in (y0, x0, alpha, beta)]
+    # EDGE-pad the index/weight operands: zero-padding poisons the padded
+    # columns' y0/x0 with 0, dragging every window's dynamic band/tile range
+    # down to the frame origin — at widths that aren't lane multiples (e.g.
+    # the 1088-wide transposed TTA group) the last window of every stripe
+    # then walks the whole frame (measured 10x: 171 ms vs 17 ms at B=4).
+    # Padded outputs are garbage and cropped; only the ranges matter.
+    def pad2_edge(x):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            mode="edge",
+        )
+
+    operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b * c2, hp // TH)
     img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -701,7 +725,19 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         )
 
     words = pad2(words)
-    operands = [pad2(v) for v in (y0, x0, alpha, beta)]
+    # EDGE-pad the index/weight operands: zero-padding poisons the padded
+    # columns' y0/x0 with 0, dragging every window's dynamic band/tile range
+    # down to the frame origin — at widths that aren't lane multiples (e.g.
+    # the 1088-wide transposed TTA group) the last window of every stripe
+    # then walks the whole frame (measured 10x: 171 ms vs 17 ms at B=4).
+    # Padded outputs are garbage and cropped; only the ranges matter.
+    def pad2_edge(x):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            mode="edge",
+        )
+
+    operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b, hp // TH)
     img_spec = pl.BlockSpec(memory_space=pltpu.ANY)

@@ -7,9 +7,13 @@ as bench.py).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/bench_matrix.py
 """
 
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CONFIGS = [
     # (label, model, kwargs, resolution, batch, iters)
