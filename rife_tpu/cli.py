@@ -265,8 +265,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     except RuntimeError:
         # accelerator plugin failed to initialise (e.g. forced-CPU runs):
         # fall back to the CPU backend, mirroring the reference's behavior
-        # of running without a GPU when Vulkan is unavailable
-        accel_devices = jax.devices("cpu")
+        # of running without a GPU when Vulkan is unavailable.  A broken
+        # plugin poisons jax.devices("cpu") too (backends() re-raises), so
+        # the platform must be forced via jax.config, not queried around.
+        jax.config.update("jax_platforms", "cpu")
+        accel_devices = jax.devices()
 
     def make_session(device):
         # fast precision is the default on TPU, exactly as the reference

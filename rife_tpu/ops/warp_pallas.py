@@ -178,7 +178,7 @@ def _warp_pallas_impl(image, flow):
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b * c, hp // TH)
-    img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    img_spec = pl.BlockSpec(memory_space=pl.ANY)
     stripe = lambda i, j: (i // c, j, 0)  # noqa: E731 - flow shared over C
     idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
 
@@ -328,7 +328,7 @@ def _warp_pallas_packed_impl(image, flow):
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b * c2, hp // TH)
-    img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    img_spec = pl.BlockSpec(memory_space=pl.ANY)
     stripe = lambda i, j: (i // c2, j, 0)  # noqa: E731
     idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
@@ -740,7 +740,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
     grid = (b, hp // TH)
-    img_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    img_spec = pl.BlockSpec(memory_space=pl.ANY)
     idx_spec = pl.BlockSpec(
         (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )

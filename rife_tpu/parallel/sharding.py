@@ -95,10 +95,8 @@ class ShardedRIFE:
                 # usable (GSPMD cannot auto-partition custom calls), and no
                 # collectives exist (embarrassingly parallel, like the
                 # reference's per-GPU engines)
-                from jax.experimental.shard_map import shard_map
-
                 raw = self.session.build_step_fn(pad_to(h), pad_to(w))
-                mapped = shard_map(
+                mapped = jax.shard_map(
                     raw,
                     mesh=self.mesh,
                     in_specs=(
@@ -109,7 +107,7 @@ class ShardedRIFE:
                         self._spec_t(),
                     ),
                     out_specs=self._spec_frame(),
-                    check_rep=False,
+                    check_vma=False,
                 )
                 fn = jax.jit(mapped)
             else:

@@ -128,6 +128,28 @@ def test_cli_multihost_ranks_produce_disjoint_complete_outputs(tmp_path, monkeyp
     assert written[0] | written[1] == {f"{i:08d}.png" for i in range(1, 7)}
 
 
+def test_cli_mesh_mode_matches_single_device(tmp_path):
+    """-g all (ONE mesh-sharded session, batch axis over every chip) must
+    produce byte-identical frames to a single-device run. On the test env's
+    8-device virtual CPU mesh both paths run f32, so equality is exact."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    write_frames(ind, n=3)
+    outs = {}
+    for tag, gflag in (("single", "-1"), ("mesh", "all")):
+        outd = tmp_path / tag
+        outd.mkdir()
+        rc = main(["-i", str(ind), "-o", str(outd), "-m", "rife-v4.6",
+                   "-n", "6", "-g", gflag])
+        assert rc == 0
+        outs[tag] = {
+            n: np.asarray(Image.open(outd / n)) for n in sorted(os.listdir(outd))
+        }
+    assert outs["single"].keys() == outs["mesh"].keys()
+    for name in outs["single"]:
+        np.testing.assert_array_equal(outs["single"][name], outs["mesh"][name])
+
+
 def test_cli_sniffs_family_from_resolved_path(tmp_path):
     """-m pointing at a dir whose LEAF name isn't a rife name must still
     sniff from the full path (cli and loader agree; VERDICT weak #7)."""
