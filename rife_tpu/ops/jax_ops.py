@@ -16,6 +16,7 @@ Reference semantics cross-checked against:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -482,7 +483,9 @@ def _op_warp(node, inputs, w, ctx):
         # u8-origin warps stream slabs at any size; the float kernels need
         # the whole plane resident in VMEM
         if u8 or fits_vmem(image.shape[1], image.shape[2]):
-            return [warp_pallas(image, flow, u8_origin=u8)]
+            variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            return [warp_pallas(image, flow, u8_origin=u8,
+                                u8_variant=variant)]
     return [warp(image, flow)]
 
 

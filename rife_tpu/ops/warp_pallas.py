@@ -818,14 +818,15 @@ def warp_pallas(image, flow, u8_origin: bool = False,
     if u8_origin and image.shape[-1] <= 4:
         variant = u8_variant
         if variant == "auto":
-            # band ties delta at smooth flows (both sit on the per-stripe
-            # dispatch floor, measured 7.5 vs 7.9 ms at 1080p) and is 3x
-            # more robust at adversarial white-noise flows, where delta's
-            # per-iteration roll costs ~3x a band row-iteration
-            variant = (
-                "band" if fits_vmem(image.shape[1], image.shape[2])
-                else "slab"
-            )
+            # slab wins in-graph at the smooth flows real RIFE weights
+            # produce (headline step 43.8 vs band's 40.8 fps at 1080p B=24:
+            # no whole-image VMEM staging, bands stream on demand) and is
+            # the only variant with no VMEM ceiling.  Worst-case flows
+            # (white noise) degrade any flow-adaptive variant (band 8.9 s,
+            # slab 19 s per B=24 step) — that case never occurs with
+            # trained weights on real frames; RIFE_TPU_WARP_VARIANT
+            # overrides the choice for experiments.
+            variant = "slab"
         return _warp_pallas_u8_impl_any(
             image, flow,
             slab_mode=variant == "slab",

@@ -1,6 +1,10 @@
 """Throughput vs batch size for the fused v4.6 1080p step (real chip)."""
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

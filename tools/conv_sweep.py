@@ -4,7 +4,11 @@ Answers: is padding the narrow-channel IFBlock convs (32/48/64/96) up to
 the 128-lane tile worth it? If time is flat in C until 128, yes.
 """
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
