@@ -692,8 +692,178 @@ def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
 
 
+def _warp_kernel_u8_sdelta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                           dlo_ref, dhi_ref, tlo_ref, thi_ref,
+                           o0_ref, o1_ref, o2_ref,
+                           slab, acc0, acc1, acc2, sem, *,
+                           nt_w: int, h_max: int, w_max: int, hp: int):
+    """Slab-DELTA u8-quad warp: slab streaming + delta-roll gathering.
+
+    The slab kernel's inner loop one-hot-matches each of a band's 8 rows
+    (16 lane-gathers per in-range band-window); the delta kernel gathers
+    once per integer row-delta (2 per (d, tile)) but stages the WHOLE image
+    in VMEM.  This kernel takes both wins: it streams a 2-band (16-row)
+    window of the source through VMEM (no resident-image ceiling) and
+    serves each row-delta with one sublane roll + one gather pair, so the
+    typical gather count per stripe is (y-spread+2) x (x-tile-span) x 2
+    instead of bands x 8 x tiles x 2 — ~5x fewer at the smooth flows real
+    RIFE weights produce (lane gathers are the measured bottleneck:
+    tools/prim_sweep.py, ~122 vs ~48 cycles for sublane ops).
+
+    Staged-band coordinates: staged band p holds source rows
+    [8(p-1), 8p) — one band of top slack so negative window starts at the
+    frame top stay addressable (their taps have zero weight, exactly as in
+    the delta kernel).  The VMEM slab holds the staged pair (p, p+1); a
+    row-delta d belongs to pair p iff its 8-row window starts inside staged
+    band p, so the window always lies within the pair and one sublane roll
+    aligns it.
+
+    Per-window iteration ranges arrive as SMEM scalars, reduced by XLA in
+    one fused pass over the operand arrays: computing them in-kernel costs
+    ~60 cross-lane reductions per stripe, which measured as ~90% of the
+    whole kernel at zero flow (the per-stripe floor)."""
+    base_y = pl.program_id(1) * TH
+    n_src_bands = hp // TH
+
+    zeros_row = jnp.zeros(acc0.shape, jnp.float32)
+    acc0[...] = zeros_row
+    acc1[...] = zeros_row
+    acc2[...] = zeros_row
+
+    srow = lax.broadcasted_iota(jnp.int32, (TH, LANE), 0) + base_y
+
+    def unpack3(g):
+        c0 = (g & 0xFF).astype(jnp.float32)
+        c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        return c0, c1, c2
+
+    # per-window source ranges: XLA-precomputed, scalar reads from SMEM
+    wins = []
+    d_lo_g = None
+    d_hi_g = None
+    j = pl.program_id(1)
+    for lo in range(nt_w):
+        d_lo = dlo_ref[0, lo, j]
+        d_hi = dhi_ref[0, lo, j]
+        t_lo = tlo_ref[0, lo, j]
+        t_hi = thi_ref[0, lo, j]
+        wins.append((d_lo, d_hi, t_lo, t_hi))
+        d_lo_g = d_lo if d_lo_g is None else jnp.minimum(d_lo_g, d_lo)
+        d_hi_g = d_hi if d_hi_g is None else jnp.maximum(d_hi_g, d_hi)
+
+    # staged-band pair range: pair p serves window starts in staged band p
+    p_lo = (base_y + d_lo_g + TH) // TH
+    p_hi = (base_y + d_hi_g + TH) // TH
+
+    def dma_staged_band(p, slot):
+        src_band = p - 1  # staged band p = source rows [8(p-1), 8p)
+        @pl.when((src_band >= 0) & (src_band < n_src_bands))
+        def _():
+            cp = pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.program_id(0),
+                    pl.ds(pl.multiple_of(src_band * TH, TH), TH),
+                    :,
+                ],
+                slab.at[pl.ds(pl.multiple_of(slot * TH, TH), TH)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+    dma_staged_band(p_lo, 0)
+    dma_staged_band(p_lo + 1, 1)
+
+    def pair_body(p, carry):
+        # windows whose start row lies in staged band p: d in
+        # [8p - 8 - base_y, 8p - 1 - base_y]
+        dp_lo = p * TH - TH - base_y
+        dp_hi = dp_lo + TH - 1
+
+        for lo in range(nt_w):
+            d_lo_w, d_hi_w, t_lo, t_hi = wins[lo]
+            dd_lo = jnp.maximum(d_lo_w, dp_lo)
+            dd_hi = jnp.minimum(d_hi_w, dp_hi)
+
+            @pl.when(dd_lo <= dd_hi)
+            def _(lo=lo, dd_lo=dd_lo, dd_hi=dd_hi, t_lo=t_lo, t_hi=t_hi):
+                sl = pl.ds(lo * LANE, LANE)
+                y0 = y0_ref[0, :, sl]
+                x0 = x0_ref[0, :, sl]
+                y1 = jnp.minimum(y0 + 1, h_max)
+                x1 = jnp.minimum(x0 + 1, w_max)
+                alpha = a_ref[0, :, sl]
+                beta = b_ref[0, :, sl]
+                w00 = (1.0 - alpha) * (1.0 - beta)
+                w01 = alpha * (1.0 - beta)
+                w10 = (1.0 - alpha) * beta
+                w11 = alpha * beta
+                zero = jnp.zeros_like(w00)
+                d0 = y0 - srow
+                d1 = y1 - srow
+
+                def delta_body(d, accs):
+                    off = base_y + d + TH - p * TH  # in [0, TH)
+                    m0 = (d0 == d)
+                    m1 = (d1 == d)
+
+                    def tile_body(t, accs):
+                        a0v, a1v, a2v = accs
+                        pair = slab[:, pl.ds(t * LANE, LANE)]
+                        win = pltpu.roll(pair, shift=-off, axis=0)[:TH, :]
+                        lx0 = x0 - t * LANE
+                        lx1 = x1 - t * LANE
+                        ok0 = (lx0 >= 0) & (lx0 < LANE)
+                        ok1 = (lx1 >= 0) & (lx1 < LANE)
+                        lx0c = jnp.clip(lx0, 0, LANE - 1)
+                        lx1c = jnp.clip(lx1, 0, LANE - 1)
+                        g0 = jnp.take_along_axis(win, lx0c, axis=1)
+                        g1 = jnp.take_along_axis(win, lx1c, axis=1)
+                        wg0 = (
+                            jnp.where(m0 & ok0, w00, zero)
+                            + jnp.where(m1 & ok0, w10, zero)
+                        )
+                        wg1 = (
+                            jnp.where(m0 & ok1, w01, zero)
+                            + jnp.where(m1 & ok1, w11, zero)
+                        )
+                        r0, g0c, b0c = unpack3(g0)
+                        r1, g1c, b1c = unpack3(g1)
+                        a0v = a0v + r0 * wg0 + r1 * wg1
+                        a1v = a1v + g0c * wg0 + g1c * wg1
+                        a2v = a2v + b0c * wg0 + b1c * wg1
+                        return (a0v, a1v, a2v)
+
+                    return lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+                a0v, a1v, a2v = lax.fori_loop(
+                    dd_lo, dd_hi + 1, delta_body,
+                    (acc0[:, sl], acc1[:, sl], acc2[:, sl]),
+                )
+                acc0[:, sl] = a0v
+                acc1[:, sl] = a1v
+                acc2[:, sl] = a2v
+
+        # advance the pair window: (p, p+1) -> (p+1, p+2)
+        @pl.when(p < p_hi)
+        def _():
+            slab[pl.ds(0, TH)] = slab[pl.ds(TH, TH)]
+            dma_staged_band(p + 2, 1)
+
+        return carry
+
+    lax.fori_loop(p_lo, p_hi + 1, pair_body, 0)
+
+    scale = jnp.float32(1.0 / 255.0)
+    o0_ref[0] = (acc0[...] * scale).astype(o0_ref.dtype)
+    o1_ref[0] = (acc1[...] * scale).astype(o1_ref.dtype)
+    o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
+
+
 def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
-                             delta_mode: bool = False):
+                             delta_mode: bool = False,
+                             sdelta_mode: bool = False):
     """Shared host-side driver for the u8-quad variants."""
     b, h, w, c = image.shape
     out_dtype = image.dtype
@@ -748,7 +918,54 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
 
-    if slab_mode:
+    if sdelta_mode:
+        kernel = functools.partial(
+            _warp_kernel_u8_sdelta, nt_w=nt_w, h_max=h - 1, w_max=w - 1,
+            hp=hp,
+        )
+        scratch = [
+            pltpu.VMEM((2 * TH, wp), jnp.int32),  # staged band pair
+            pltpu.VMEM((TH, wp), jnp.float32),    # acc r
+            pltpu.VMEM((TH, wp), jnp.float32),    # acc g
+            pltpu.VMEM((TH, wp), jnp.float32),    # acc b
+            pltpu.SemaphoreType.DMA,
+        ]
+        # per-(stripe, window) iteration ranges, reduced in one fused XLA
+        # pass (in-kernel cross-lane reductions are the per-stripe floor)
+        n_stripes = hp // TH
+        y0p, x0p = operands[0], operands[1]
+        rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)[None]
+        y1p = jnp.minimum(y0p + 1, h - 1)
+        x1p = jnp.minimum(x0p + 1, w - 1)
+
+        def sreduce(v, fn):
+            # (b, nt_w, n_stripes): stripe axis last so the whole table is
+            # one SMEM block per batch element
+            return jnp.transpose(
+                fn(v.reshape(b, n_stripes, TH, nt_w, LANE), axis=(2, 4)),
+                (0, 2, 1),
+            ).astype(jnp.int32)
+
+        ranges = [
+            sreduce(y0p - rows, jnp.min),
+            sreduce(y1p - rows, jnp.max),
+            sreduce(x0p, jnp.min) // LANE,
+            sreduce(x1p, jnp.max) // LANE,
+        ]
+        smem_spec = pl.BlockSpec(
+            (1, nt_w, n_stripes), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[img_spec] + [idx_spec] * 4 + [smem_spec] * 4,
+            out_specs=[out_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((b, hp, wp), out_dtype)] * 3,
+            scratch_shapes=scratch,
+        )(words, *operands, *ranges)
+        return jnp.stack(outs, axis=-1)[:, :h, :w, :c]
+    elif slab_mode:
         kernel = functools.partial(
             _warp_kernel_u8_slab, nt_w=nt_w, h_max=h - 1, w_max=w - 1
         )
@@ -831,6 +1048,7 @@ def warp_pallas(image, flow, u8_origin: bool = False,
             image, flow,
             slab_mode=variant == "slab",
             delta_mode=variant == "delta",
+            sdelta_mode=variant == "sdelta",
         )
     if image.dtype == jnp.bfloat16:
         return _warp_pallas_packed_impl(image, flow)

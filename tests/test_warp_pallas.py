@@ -61,7 +61,7 @@ def test_warp_pallas_u8_quad():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("variant", ["band", "delta"])
+@pytest.mark.parametrize("variant", ["band", "delta", "sdelta"])
 @pytest.mark.parametrize("scale", [5, 60])  # 60 px at 16 rows: heavy clamping
 def test_warp_pallas_u8_variants_match_oracle(variant, scale):
     """Both u8-quad kernels (row-band one-hot and delta-roll) are
