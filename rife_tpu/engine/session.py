@@ -23,6 +23,7 @@ import jax
 import numpy as np
 
 from ..graph.executor import Executor
+from ..graph.rewrite import fuse_quarter_downscaled_warps
 from ..models.zoo import LoadedModel, load_model
 from ..ops import jax_ops
 from . import pipelines
@@ -104,16 +105,24 @@ class RIFE:
         }
         self.executors: Dict[str, Executor] = {}
         weights = {}
+        import os
+
+        fuse_ds = os.environ.get("RIFE_TPU_FUSE_DS", "1") != "0"
         for name, net in self.model.nets.items():
-            u8_blobs = net.graph.value_copies_of(_IMG_SEEDS.get(name, ()))
+            graph = net.graph
+            if fuse_ds:
+                # exact rewrite: warp-then-quarter-downscale pairs become
+                # compacted tap-grid warps (graph/rewrite.py)
+                graph = fuse_quarter_downscaled_warps(graph)
+            u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
             self.executors[name] = Executor(
-                net.graph, jax_ops.OP_TABLE, net.weights,
+                graph, jax_ops.OP_TABLE, net.weights,
                 ctx={
                     "use_pallas_warp": use_pallas,
                     "u8_image_blobs": frozenset(u8_blobs),
                 },
             )
-            weights[name] = jax_ops.prepare_weights(net.graph, net.weights, wdtype)
+            weights[name] = jax_ops.prepare_weights(graph, net.weights, wdtype)
         self.weights = jax.device_put(weights, self.device)
         self._step_cache: Dict[Tuple, callable] = {}
 

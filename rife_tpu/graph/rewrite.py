@@ -1,0 +1,138 @@
+"""Exact graph rewrites for TPU execution.
+
+The v4-family flownet warps the FULL-RESOLUTION input frames at every
+pyramid level and immediately bilinear-downscales the warped images to the
+level's working resolution (e.g. rife-v4.6 block1: ``rife.Warp warp_0/1``
+-> ``Concat cat_3`` -> ``Interp upsample_12`` at scale 1/4,
+/root/reference/models/rife-v4.6/flownet.param:55-61).  On the reference's
+GPU the warp is a cheap texture gather, so the wasted full-res warp is
+free; on TPU the warp is the single most expensive op in the graph, and at
+scale 1/4 the downscale reads only rows/cols {4i+1, 4i+2} of it — half of
+the warped pixels are never used, and the used ones are needed only in
+2x2-average pairs.
+
+``fuse_quarter_downscaled_warps`` rewrites, bit-exactly:
+
+* R1  ``Interp(1/4, bilinear)(Concat(xs))`` -> ``Concat(Interp(1/4)(x))``
+      (bilinear resize is channelwise, so this is exact) — this exposes
+      per-input Interp(Warp) pairs;
+* R2  ``Interp(1/4, bilinear)(rife.Warp(img, flow))`` -> a single
+      ``rife.WarpDs4(img, flow)`` node.
+
+``rife.WarpDs4`` (ops.jax_ops._op_warp_ds4) evaluates the warp only on the
+compacted half-resolution tap grid rows/cols {4i+1, 4i+2} (passing the
+ABSOLUTE sample positions tap+flow(tap) so the float math is bit-identical
+to the full-res warp at those pixels) and then applies the same exact
+half-pixel 2x downsample step the Interp path uses — the result is
+bit-identical to warp-then-downscale while doing ~4x less gather work.
+
+Both rewrites only fire when the rewritten blob has exactly one consumer
+and is not a graph output that callers can extract (the executor treats
+any blob as extractable, so callers of the rewritten graph must only
+extract blobs that still exist — the v4 pipelines extract flow taps and
+out0, which are untouched).  R1 deletes the dead original Concat (keeping
+it would keep counting it as a consumer of the warp blobs and block R2's
+single-consumer guard); dead Warp producers are left in the node list —
+the executor's demand-driven traversal never runs them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from .ir import Graph, LayerNode
+
+
+def _rebuild(nodes: List[LayerNode], input_blobs: List[str]) -> Graph:
+    producer = {}
+    for idx, node in enumerate(nodes):
+        for slot, top in enumerate(node.tops):
+            producer[top] = (idx, slot)
+    return Graph(nodes=nodes, producer=producer, input_blobs=input_blobs)
+
+
+def _consumer_counts(nodes: List[LayerNode]) -> Dict[str, int]:
+    counts: Dict[str, int] = {}
+    for node in nodes:
+        for b in node.bottoms:
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def _is_quarter_bilinear(node: LayerNode) -> bool:
+    return (
+        node.type == "Interp"
+        and int(node.p(0, 0)) == 2
+        and float(node.p(1, 0.0)) == 0.25
+        and float(node.p(2, 0.0)) == 0.25
+        and int(node.p(3, 0)) == 0
+        and int(node.p(4, 0)) == 0
+        and len(node.bottoms) == 1
+    )
+
+
+def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
+    """Apply R1 + R2 until fixpoint.  Returns a new Graph (shares nodes that
+    were not rewritten); no weighted layer is added or removed."""
+    nodes = list(graph.nodes)
+    changed = True
+    n_fused = 0
+    while changed:
+        changed = False
+        counts = _consumer_counts(nodes)
+        producer = {}
+        for idx, node in enumerate(nodes):
+            for top in node.tops:
+                producer[top] = idx
+        for i, node in enumerate(nodes):
+            if not _is_quarter_bilinear(node):
+                continue
+            src = node.bottoms[0]
+            if src not in producer or counts.get(src, 0) != 1:
+                continue
+            p = nodes[producer[src]]
+            if p.type == "Concat" and len(p.tops) == 1 and int(
+                p.p(0, 0)
+            ) == 0 and any(  # channel-axis concat only: resize is channelwise
+                b in producer
+                and nodes[producer[b]].type == "rife.Warp"
+                and counts.get(b, 0) == 1
+                for b in p.bottoms
+            ):
+                # R1: split the downscale across the concat inputs
+                new: List[LayerNode] = []
+                parts = []
+                for k, x in enumerate(p.bottoms):
+                    blob = f"{node.tops[0]}__part{k}"
+                    new.append(LayerNode(
+                        "Interp", f"{node.name}__part{k}", [x], [blob],
+                        dict(node.params),
+                    ))
+                    parts.append(blob)
+                new.append(LayerNode(
+                    "Concat", f"{node.name}__cat", parts, [node.tops[0]],
+                    dict(p.params),
+                ))
+                nodes[i : i + 1] = new
+                # drop the now-dead original Concat: leaving it in would keep
+                # counting it as a consumer of the warp blobs and block R2's
+                # single-consumer guard forever.  Its top (``src``) loses its
+                # producer — legal because this rewrite only fired when that
+                # blob had exactly one consumer (the Interp just replaced).
+                idx_p = producer[src]
+                assert idx_p < i  # param files are topological
+                del nodes[idx_p]
+                changed = True
+                break
+            if p.type == "rife.Warp" and len(p.bottoms) == 2:
+                # R2: fuse into the compacted tap-grid warp
+                nodes[i] = LayerNode(
+                    "rife.WarpDs4", f"{node.name}__fused",
+                    list(p.bottoms), list(node.tops), {},
+                )
+                n_fused += 1
+                changed = True
+                break
+    if n_fused == 0:
+        return graph
+    return _rebuild(nodes, list(graph.input_blobs))

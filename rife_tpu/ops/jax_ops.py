@@ -227,11 +227,21 @@ def warp(image, flow):
     *before* the fractions are taken (shader lines 42-55), which collapses to
     edge-replicate sampling.
     """
-    b, h, w, c = image.shape
+    h, w = image.shape[1], image.shape[2]
     gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
     gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
     sx = gx[None] + flow[..., 0].astype(jnp.float32)
     sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    return warp_at(image, sy, sx)
+
+
+def warp_at(image, sy, sx):
+    """Backward bilinear sampling of ``image`` at ABSOLUTE positions
+    (sy, sx) of shape (B, Ho, Wo) — same clamped-corner algebra as ``warp``
+    but with a caller-chosen output grid (the fused downscaled-warp rewrite
+    samples on the Interp tap grid, graph/rewrite.py)."""
+    b, h, w, c = image.shape
+    ho, wo = sy.shape[1], sy.shape[2]
 
     x0f = jnp.floor(sx)
     y0f = jnp.floor(sy)
@@ -244,19 +254,17 @@ def warp(image, flow):
     beta = (sy - y0.astype(jnp.float32)).astype(image.dtype)[..., None]
 
     flat = image.reshape(b, h * w, c)
-    bidx = lax.broadcasted_iota(jnp.int32, (b, h, w), 0)
 
     def gather(yy, xx):
         idx = yy * w + xx
         return jnp.take_along_axis(
-            flat, idx.reshape(b, h * w, 1), axis=1
-        ).reshape(b, h, w, c)
+            flat, idx.reshape(b, ho * wo, 1), axis=1
+        ).reshape(b, ho, wo, c)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
     v10 = gather(y1, x0)
     v11 = gather(y1, x1)
-    del bidx
     top = v00 * (1 - alpha) + v01 * alpha
     bot = v10 * (1 - alpha) + v11 * alpha
     return top * (1 - beta) + bot * beta
@@ -470,6 +478,66 @@ def _op_pixelshuffle(node, inputs, w, ctx):
     return [pixel_shuffle(inputs[0], int(node.p(0, 1)))]
 
 
+def _compact_taps4(x, axis):
+    """Rows/cols {4i+1, 4i+2} of ``x`` along ``axis``, interleaved — the only
+    pixels a half-pixel bilinear 1/4 downsample reads (``_downsample_axis``
+    n=4 taps)."""
+    size = x.shape[axis]
+
+    def take(start):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(start, size, 4)
+        return x[tuple(sl)]
+
+    st = jnp.stack([take(1), take(2)], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = size // 2
+    return st.reshape(shape)
+
+
+def _op_warp_ds4(node, inputs, w, ctx):
+    """Fused ``Interp(1/4, bilinear) ∘ rife.Warp`` (graph/rewrite.py R2).
+
+    The v4-family flownet warps the full-resolution frames and immediately
+    1/4-downscales them (/root/reference/models/rife-v4.6/flownet.param
+    warp_0/warp_1 -> cat_3 -> upsample_12); the downsample reads only
+    rows/cols {4i+1, 4i+2}, so half the warped pixels are dead.  This op
+    evaluates the warp only on that compacted tap grid — absolute sample
+    positions tap + flow[tap], bit-identical float math to the full-res warp
+    at those pixels — then applies the identical 0.5/0.5 tap averages
+    (h-axis first, then w, exactly ``resize2d``'s order).  Result is
+    bit-exact vs warp-then-downscale with ~4x less gather work and no
+    full-res warped tensor in HBM."""
+    image, flow = inputs[0], inputs[1]
+    h, wid = image.shape[1], image.shape[2]
+    if h % 4 or wid % 4:  # padded canvases are 32-aligned; belt-and-braces
+        y = _op_warp(node, inputs, w, ctx)[0]
+        return [resize2d(y, int(round(h * 0.25)), int(round(wid * 0.25)))]
+    flow_c = _compact_taps4(_compact_taps4(flow, 1), 2)
+    ho, wo = h // 2, wid // 2
+    iy = lax.broadcasted_iota(jnp.int32, (ho, wo), 0)
+    ix = lax.broadcasted_iota(jnp.int32, (ho, wo), 1)
+    gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(jnp.float32)
+    gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(jnp.float32)
+    sx = gx[None] + flow_c[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow_c[..., 1].astype(jnp.float32)
+
+    u8 = (
+        ctx.get("use_pallas_warp")
+        and not ctx.get("no_u8_warp")
+        and image.shape[-1] <= 4
+        and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+    )
+    if u8:
+        from .warp_pallas import warp_pallas
+
+        pos = jnp.stack([sx, sy], axis=-1)
+        y = warp_pallas(image, pos, u8_origin=True, abs_pos=True)
+    else:
+        y = warp_at(image, sy, sx)
+    return [_downsample_axis(_downsample_axis(y, 2, 1), 2, 2)]
+
+
 def _op_warp(node, inputs, w, ctx):
     image, flow = inputs[0], inputs[1]
     if ctx.get("use_pallas_warp"):
@@ -508,6 +576,7 @@ OP_TABLE = {
     "Eltwise": _op_eltwise,
     "PixelShuffle": _op_pixelshuffle,
     "rife.Warp": _op_warp,
+    "rife.WarpDs4": _op_warp_ds4,
 }
 
 

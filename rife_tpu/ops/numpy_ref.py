@@ -294,4 +294,11 @@ OP_TABLE = {
     "Eltwise": _op_eltwise,
     "PixelShuffle": lambda n, i, w, c: [pixel_shuffle(i[0], int(n.p(0, 1)))],
     "rife.Warp": lambda n, i, w, c: [warp(i[0], i[1])],
+    # fused Interp(1/4) ∘ Warp (graph/rewrite.py); the oracle keeps the
+    # unfused form — exactness of the fusion is a jax_ops-level test
+    "rife.WarpDs4": lambda n, i, w, c: [
+        resize_bilinear(
+            warp(i[0], i[1]), i[0].shape[1] // 4, i[0].shape[2] // 4
+        )
+    ],
 }

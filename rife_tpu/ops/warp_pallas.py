@@ -863,12 +863,26 @@ def _warp_kernel_u8_sdelta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 
 def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
                              delta_mode: bool = False,
-                             sdelta_mode: bool = False):
-    """Shared host-side driver for the u8-quad variants."""
+                             sdelta_mode: bool = False,
+                             abs_pos: bool = False):
+    """Shared host-side driver for the u8-quad variants.
+
+    ``abs_pos=True``: ``flow`` carries ABSOLUTE sample positions (sx, sy)
+    on an arbitrary output grid of shape flow.shape[1:3] (may differ from
+    the source grid) — used by the fused downscaled-warp rewrite
+    (graph/rewrite.py) to evaluate only the Interp tap pixels.  Requires a
+    streaming variant (slab/sdelta); band/delta assume out grid == source
+    grid for their whole-image staging."""
     b, h, w, c = image.shape
     out_dtype = image.dtype
-    hp, wp = _round_up(h, TH), _round_up(w, LANE)
-    nt_w = wp // LANE
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
+    if abs_pos:
+        assert slab_mode and not sdelta_mode
+        ho, wo = flow.shape[1], flow.shape[2]
+    else:
+        ho, wo = h, w
+    hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
+    nt_w = wp_o // LANE
 
     q = jnp.round(
         jnp.clip(image.astype(jnp.float32), 0.0, 1.0) * 255.0
@@ -879,10 +893,14 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         )
     words = lax.bitcast_convert_type(q, jnp.int32)  # (B,H,W)
 
-    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    sx = gx[None] + flow[..., 0].astype(jnp.float32)
-    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    if abs_pos:
+        sx = flow[..., 0].astype(jnp.float32)
+        sy = flow[..., 1].astype(jnp.float32)
+    else:
+        gy = lax.broadcasted_iota(jnp.float32, (ho, wo), 0)
+        gx = lax.broadcasted_iota(jnp.float32, (ho, wo), 1)
+        sx = gx[None] + flow[..., 0].astype(jnp.float32)
+        sy = gy[None] + flow[..., 1].astype(jnp.float32)
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
@@ -903,19 +921,19 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     # Padded outputs are garbage and cropped; only the ranges matter.
     def pad2_edge(x):
         return jnp.pad(
-            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            x, ((0, 0), (0, hp_o - x.shape[1]), (0, wp_o - x.shape[2])),
             mode="edge",
         )
 
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
-    grid = (b, hp // TH)
+    grid = (b, hp_o // TH)
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
     idx_spec = pl.BlockSpec(
-        (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
 
     if sdelta_mode:
@@ -970,10 +988,10 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             _warp_kernel_u8_slab, nt_w=nt_w, h_max=h - 1, w_max=w - 1
         )
         scratch = [
-            pltpu.VMEM((TH, wp), jnp.int32),     # slab
-            pltpu.VMEM((TH, wp), jnp.float32),   # acc r
-            pltpu.VMEM((TH, wp), jnp.float32),   # acc g
-            pltpu.VMEM((TH, wp), jnp.float32),   # acc b
+            pltpu.VMEM((TH, wp), jnp.int32),      # slab (source rows)
+            pltpu.VMEM((TH, wp_o), jnp.float32),  # acc r (output grid)
+            pltpu.VMEM((TH, wp_o), jnp.float32),  # acc g
+            pltpu.VMEM((TH, wp_o), jnp.float32),  # acc b
             pltpu.SemaphoreType.DMA,
         ]
     elif delta_mode:
@@ -1000,11 +1018,11 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         grid=grid,
         in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((b, hp, wp), out_dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 3,
         scratch_shapes=scratch,
     )(words, *operands)
 
-    out = jnp.stack(outs, axis=-1)[:, :h, :w, :c]
+    out = jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     return out
 
 
@@ -1012,9 +1030,11 @@ def fits_vmem(h: int, w: int) -> bool:
     return _round_up(h, TH) * _round_up(w, LANE) * 4 <= _VMEM_IMAGE_LIMIT
 
 
-@functools.partial(jax.jit, static_argnames=("u8_origin", "u8_variant"))
+@functools.partial(
+    jax.jit, static_argnames=("u8_origin", "u8_variant", "abs_pos")
+)
 def warp_pallas(image, flow, u8_origin: bool = False,
-                u8_variant: str = "auto"):
+                u8_variant: str = "auto", abs_pos: bool = False):
     """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
 
     ``u8_origin=True`` asserts the image values are u8/255 (the input
@@ -1031,7 +1051,19 @@ def warp_pallas(image, flow, u8_origin: bool = False,
 
     Otherwise bf16 images take the pair-packed kernel (2 channels per word)
     and other dtypes the per-plane f32 kernel; both require the plane to fit
-    VMEM (callers fall back to the XLA gather)."""
+    VMEM (callers fall back to the XLA gather).
+
+    ``abs_pos=True`` (u8-origin only): ``flow`` carries ABSOLUTE sample
+    positions (sx, sy) on an output grid flow.shape[1:3] that may be smaller
+    than the source grid — the fused downscaled-warp rewrite
+    (graph/rewrite.py) evaluates the warp only on the Interp tap pixels.
+    Forces the slab variant (the only one whose staging is decoupled from
+    the output grid)."""
+    if abs_pos:
+        assert u8_origin and image.shape[-1] <= 4
+        return _warp_pallas_u8_impl_any(
+            image, flow, slab_mode=True, abs_pos=True
+        )
     if u8_origin and image.shape[-1] <= 4:
         variant = u8_variant
         if variant == "auto":

@@ -1,0 +1,89 @@
+"""Exactness of the Interp(1/4) ∘ rife.Warp graph fusion (graph/rewrite.py).
+
+The v4-family flownet warps the FULL-RES frames at pyramid block 1 and
+immediately quarter-downscales them (reference graph:
+/root/reference/models/rife-v4.6/flownet.param warp_0/warp_1 -> cat_3 ->
+upsample_12).  The rewrite must (a) fire exactly on that pattern and
+(b) leave the executed numbers bit-identical on the XLA path.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rife_tpu.graph.executor import Executor
+from rife_tpu.graph.ir import LayerNode
+from rife_tpu.graph.param import parse_param
+from rife_tpu.graph.rewrite import fuse_quarter_downscaled_warps
+from rife_tpu.graph.weights import synthesize_weights
+from rife_tpu.ops import jax_ops
+
+RNG = np.random.default_rng(11)
+
+V46 = "/root/reference/models/rife-v4.6/flownet.param"
+
+
+def test_rewrite_fires_on_v46_flownet():
+    g = parse_param(V46)
+    g2 = fuse_quarter_downscaled_warps(g)
+    hist = g2.type_histogram()
+    # exactly block 1's two full-res warps are quarter-downscaled
+    assert hist.get("rife.WarpDs4", 0) == 2
+    # the input graph object is untouched
+    assert "rife.WarpDs4" not in g.type_histogram()
+    # weighted layers are untouched (same conv/deconv nodes by name)
+    for t in ("Convolution", "Deconvolution"):
+        assert sorted(n.name for n in g2.layers_of_type(t)) == sorted(
+            n.name for n in g.layers_of_type(t)
+        )
+    # only blobs made dead by the rewrite (the fused Concat tops, which had
+    # exactly one consumer) may lose their producer; no live node consumes
+    # them and the pyramid taps all survive
+    missing = set(g.producer) - set(g2.producer)
+    live_bottoms = {b for n in g2.nodes for b in n.bottoms}
+    assert not (missing & live_bottoms)
+    for tap in ("flow0", "flow1", "flow2", "flow3", "out0"):
+        assert tap in g2.producer
+
+
+def test_rewrite_noop_without_pattern():
+    g = parse_param("/root/reference/models/rife-v2.3/contextnet.param")
+    assert fuse_quarter_downscaled_warps(g) is g
+
+
+def test_warp_ds4_op_bit_exact_vs_unfused():
+    img = RNG.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32)
+    flow = (RNG.normal(size=(2, 8, 16, 2)) * 5).astype(np.float32)
+    # full-res flow, smooth-ish: upsample a coarse field
+    flow = np.asarray(
+        jax_ops.resize2d(jnp.asarray(flow), 32, 64), np.float32
+    )
+    node = LayerNode("rife.WarpDs4", "t", ["a", "b"], ["o"], {})
+    fused = jax_ops._op_warp_ds4(
+        node, [jnp.asarray(img), jnp.asarray(flow)], None, {}
+    )[0]
+    ref = jax_ops.resize2d(
+        jax_ops.warp(jnp.asarray(img), jnp.asarray(flow)), 8, 16
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_v46_flownet_rewrite_bit_exact_end_to_end():
+    g = parse_param(V46)
+    w = synthesize_weights(g, "rife-v4.6/flownet")
+    g2 = fuse_quarter_downscaled_warps(g)
+    inputs = {
+        "in0": jnp.asarray(RNG.uniform(0, 1, (1, 64, 64, 3)), jnp.float32),
+        "in1": jnp.asarray(RNG.uniform(0, 1, (1, 64, 64, 3)), jnp.float32),
+        "in2": jnp.full((1, 64, 64, 1), 0.5, jnp.float32),
+    }
+    outs = ["flow0", "flow1", "flow2", "flow3", "out0"]
+
+    def run(graph):
+        prepared = jax_ops.prepare_weights(graph, w)
+        ex = Executor(graph, jax_ops.OP_TABLE, w, ctx={"w": prepared})
+        return [np.asarray(v) for v in ex.run(inputs, outs)]
+
+    ref, got = run(g), run(g2)
+    for name, r, o in zip(outs, ref, got):
+        np.testing.assert_array_equal(o, r, err_msg=name)
