@@ -522,17 +522,22 @@ def _op_warp_ds4(node, inputs, w, ctx):
     sx = gx[None] + flow_c[..., 0].astype(jnp.float32)
     sy = gy[None] + flow_c[..., 1].astype(jnp.float32)
 
-    u8 = (
-        ctx.get("use_pallas_warp")
-        and not ctx.get("no_u8_warp")
-        and image.shape[-1] <= 4
-        and node.bottoms[0] in ctx.get("u8_image_blobs", ())
-    )
-    if u8:
-        from .warp_pallas import warp_pallas
+    if ctx.get("use_pallas_warp"):
+        from .warp_pallas import fits_vmem, warp_pallas
 
-        pos = jnp.stack([sx, sy], axis=-1)
-        y = warp_pallas(image, pos, u8_origin=True, abs_pos=True)
+        u8 = (
+            not ctx.get("no_u8_warp")
+            and image.shape[-1] <= 4
+            and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+        )
+        # the u8 slab variant streams source bands at any size; the float
+        # kernels stage the whole SOURCE plane in VMEM (output grid is
+        # decoupled, so the residency bound is the source resolution)
+        if u8 or fits_vmem(h, wid):
+            pos = jnp.stack([sx, sy], axis=-1)
+            y = warp_pallas(image, pos, u8_origin=u8, abs_pos=True)
+        else:
+            y = warp_at(image, sy, sx)
     else:
         y = warp_at(image, sy, sx)
     return [_downsample_axis(_downsample_axis(y, 2, 1), 2, 2)]

@@ -133,17 +133,26 @@ def _warp_kernel(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
         o_ref[0, :, sl] = acc.astype(o_ref.dtype)
 
 
-def _warp_pallas_impl(image, flow):
+def _warp_pallas_impl(image, flow, *, abs_pos: bool = False):
     b, h, w, c = image.shape
     out_dtype = image.dtype
-    hp, wp = _round_up(h, TH), _round_up(w, LANE)
-    nt_w = wp // LANE
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
+    if abs_pos:  # flow = absolute (sx, sy) on a decoupled output grid
+        ho, wo = flow.shape[1], flow.shape[2]
+    else:
+        ho, wo = h, w
+    hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
+    nt_w = wp_o // LANE
 
     # exact shader index/fraction algebra (cheap XLA elementwise)
-    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    sx = gx[None] + flow[..., 0].astype(jnp.float32)
-    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    if abs_pos:
+        sx = flow[..., 0].astype(jnp.float32)
+        sy = flow[..., 1].astype(jnp.float32)
+    else:
+        gy = lax.broadcasted_iota(jnp.float32, (ho, wo), 0)
+        gx = lax.broadcasted_iota(jnp.float32, (ho, wo), 1)
+        sx = gx[None] + flow[..., 0].astype(jnp.float32)
+        sy = gy[None] + flow[..., 1].astype(jnp.float32)
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     # For out-of-range samples both corners clamp to the same pixel, so the
@@ -171,16 +180,16 @@ def _warp_pallas_impl(image, flow):
     # Padded outputs are garbage and cropped; only the ranges matter.
     def pad2_edge(x):
         return jnp.pad(
-            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            x, ((0, 0), (0, hp_o - x.shape[1]), (0, wp_o - x.shape[2])),
             mode="edge",
         )
 
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
-    grid = (b * c, hp // TH)
+    grid = (b * c, hp_o // TH)
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
     stripe = lambda i, j: (i // c, j, 0)  # noqa: E731 - flow shared over C
-    idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, TH, wp_o), stripe, memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
@@ -189,16 +198,16 @@ def _warp_pallas_impl(image, flow):
         grid=grid,
         in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=pl.BlockSpec(
-            (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * c, hp, wp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b * c, hp_o, wp_o), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(img, *operands)
 
-    out = out[:, :h, :w].reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    out = out[:, :ho, :wo].reshape(b, c, ho, wo).transpose(0, 2, 3, 1)
     return out
 
 
@@ -283,21 +292,30 @@ def _warp_kernel_packed(img_hbm, y0_ref, x0_ref, a_ref,
         o1_ref[0, :, sl] = acc1
 
 
-def _warp_pallas_packed_impl(image, flow):
+def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False):
     """bf16 path: channels packed in pairs into i32 gather words."""
     b, h, w, c = image.shape
-    hp, wp = _round_up(h, TH), _round_up(w, LANE)
-    nt_w = wp // LANE
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
+    if abs_pos:  # flow = absolute (sx, sy) on a decoupled output grid
+        ho, wo = flow.shape[1], flow.shape[2]
+    else:
+        ho, wo = h, w
+    hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
+    nt_w = wp_o // LANE
     c2 = (c + 1) // 2
     if c % 2:
         image = jnp.concatenate(
             [image, jnp.zeros_like(image[..., :1])], axis=-1
         )
 
-    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    sx = gx[None] + flow[..., 0].astype(jnp.float32)
-    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    if abs_pos:
+        sx = flow[..., 0].astype(jnp.float32)
+        sy = flow[..., 1].astype(jnp.float32)
+    else:
+        gy = lax.broadcasted_iota(jnp.float32, (ho, wo), 0)
+        gx = lax.broadcasted_iota(jnp.float32, (ho, wo), 1)
+        sx = gx[None] + flow[..., 0].astype(jnp.float32)
+        sy = gy[None] + flow[..., 1].astype(jnp.float32)
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
@@ -321,18 +339,18 @@ def _warp_pallas_packed_impl(image, flow):
     # Padded outputs are garbage and cropped; only the ranges matter.
     def pad2_edge(x):
         return jnp.pad(
-            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])),
+            x, ((0, 0), (0, hp_o - x.shape[1]), (0, wp_o - x.shape[2])),
             mode="edge",
         )
 
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
 
-    grid = (b * c2, hp // TH)
+    grid = (b * c2, hp_o // TH)
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
     stripe = lambda i, j: (i // c2, j, 0)  # noqa: E731
-    idx_spec = pl.BlockSpec((1, TH, wp), stripe, memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, TH, wp_o), stripe, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, TH, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
 
     out0, out1 = pl.pallas_call(
@@ -343,8 +361,8 @@ def _warp_pallas_packed_impl(image, flow):
         in_specs=[img_spec] + [idx_spec] * 4,
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b * c2, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b * c2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b * c2, hp_o, wp_o), jnp.float32),
+            jax.ShapeDtypeStruct((b * c2, hp_o, wp_o), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),
@@ -352,9 +370,9 @@ def _warp_pallas_packed_impl(image, flow):
         ],
     )(words, *operands)
 
-    out = jnp.stack([out0, out1], axis=-1)  # (B*C2, Hp, Wp, 2)
-    out = out[:, :h, :w, :].reshape(b, c2, h, w, 2)
-    out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, 2 * c2)
+    out = jnp.stack([out0, out1], axis=-1)  # (B*C2, Hpo, Wpo, 2)
+    out = out[:, :ho, :wo, :].reshape(b, c2, ho, wo, 2)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(b, ho, wo, 2 * c2)
     return out[..., :c].astype(image.dtype)
 
 
@@ -1053,17 +1071,21 @@ def warp_pallas(image, flow, u8_origin: bool = False,
     and other dtypes the per-plane f32 kernel; both require the plane to fit
     VMEM (callers fall back to the XLA gather).
 
-    ``abs_pos=True`` (u8-origin only): ``flow`` carries ABSOLUTE sample
-    positions (sx, sy) on an output grid flow.shape[1:3] that may be smaller
-    than the source grid — the fused downscaled-warp rewrite
-    (graph/rewrite.py) evaluates the warp only on the Interp tap pixels.
-    Forces the slab variant (the only one whose staging is decoupled from
-    the output grid)."""
+    ``abs_pos=True``: ``flow`` carries ABSOLUTE sample positions (sx, sy)
+    on an output grid flow.shape[1:3] that may be smaller than the source
+    grid — the fused downscaled-warp rewrite (graph/rewrite.py) evaluates
+    the warp only on the Interp tap pixels.  u8-origin images take the slab
+    streaming variant (staging decoupled from the output grid); bf16/f32
+    take the VMEM-resident kernels, whose source staging is already
+    independent of the output windows."""
     if abs_pos:
-        assert u8_origin and image.shape[-1] <= 4
-        return _warp_pallas_u8_impl_any(
-            image, flow, slab_mode=True, abs_pos=True
-        )
+        if u8_origin and image.shape[-1] <= 4:
+            return _warp_pallas_u8_impl_any(
+                image, flow, slab_mode=True, abs_pos=True
+            )
+        if image.dtype == jnp.bfloat16:
+            return _warp_pallas_packed_impl(image, flow, abs_pos=True)
+        return _warp_pallas_impl(image, flow, abs_pos=True)
     if u8_origin and image.shape[-1] <= 4:
         variant = u8_variant
         if variant == "auto":

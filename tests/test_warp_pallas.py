@@ -131,3 +131,45 @@ def test_warp_pallas_packed_bf16():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(warp_pallas(img_b, flow_b), np.float32)
     np.testing.assert_allclose(got, ref, atol=2e-2)  # bf16 input rounding
+
+
+@pytest.mark.parametrize("dtype,u8", [
+    ("float32", False),   # f32 per-plane kernel
+    ("bfloat16", False),  # pair-packed kernel
+    ("float32", True),    # u8-quad slab streaming
+])
+def test_warp_pallas_abs_pos_decoupled_grid(dtype, u8):
+    """abs_pos mode: the warp is evaluated at caller-given ABSOLUTE positions
+    on an output grid smaller than the source (the fused downscaled-warp
+    rewrite's compacted tap grid, graph/rewrite.py).  Must match the XLA
+    ``warp_at`` gather at the same positions."""
+    from rife_tpu.ops import jax_ops
+
+    h, w = 16, 256
+    if u8:
+        raw = RNG.integers(0, 256, (1, h, w, 3)).astype(np.uint8)
+        img = jnp.asarray(raw.astype(np.float32) / 255.0)
+    else:
+        img = jnp.asarray(RNG.uniform(0, 1, (1, h, w, 3)), dtype)
+    # compacted 1/4-downsample tap grid rows/cols {4i+1, 4i+2} + a flow
+    ho, wo = h // 2, w // 2
+    iy = np.arange(ho)
+    ix = np.arange(wo)
+    gy = (iy // 2) * 4 + 1 + (iy % 2)
+    gx = (ix // 2) * 4 + 1 + (ix % 2)
+    fl = (RNG.normal(size=(1, ho, wo, 2)) * 4).astype(np.float32)
+    pos = np.stack(
+        [gx[None, None, :] + fl[..., 0], gy[None, :, None] + fl[..., 1]],
+        axis=-1,
+    ).astype(np.float32)
+    pos_j = jnp.asarray(pos)
+    ref = jax_ops.warp_at(
+        img.astype(jnp.float32), pos_j[..., 1], pos_j[..., 0]
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = warp_pallas(img, pos_j, u8_origin=u8, abs_pos=True)
+    assert got.shape == (1, ho, wo, 3)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2 if dtype == "bfloat16" else 1e-5,
+    )
