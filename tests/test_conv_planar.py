@@ -1,0 +1,71 @@
+"""Planar (NCHW) Pallas conv kernel vs the XLA reference.
+
+The kernel targets the zoo's narrow-channel layers (C <= 32), where
+XLA:TPU's feature-minor lane-padded layouts cost 10-40x HBM bloat
+(measured: 3x3 s2 12->32 @1088x1920 = 35.8 ms/conv at B=24 — see
+tools/conv_chain.py / tools/nchw_exp.py / BASELINE.md).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rife_tpu.ops.conv_planar import (
+    ACT_LEAKY,
+    ACT_NONE,
+    ACT_RELU,
+    conv_planar,
+    conv_planar_ref,
+)
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("cin,cout,h,w,stride,act", [
+    (12, 32, 16, 256, 1, ACT_LEAKY),   # v4 block3 encoder shape class
+    (12, 32, 16, 256, 2, ACT_LEAKY),   # same, stride 2 (phase remap)
+    (5, 7, 16, 200, 1, ACT_NONE),      # ragged channels + non-128 width
+    (16, 24, 24, 384, 2, ACT_RELU),
+    (8, 8, 8, 128, 1, ACT_NONE),       # minimal
+])
+def test_conv_planar_matches_xla(cin, cout, h, w, stride, act):
+    x = jnp.asarray(RNG.standard_normal((2, cin, h, w), dtype=np.float32))
+    k = jnp.asarray(
+        RNG.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.2)
+    b = jnp.asarray(RNG.standard_normal((cout,), dtype=np.float32))
+    ref = conv_planar_ref(x, k, b, stride=stride, act=act)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_planar(x, k, b, stride=stride, act=act)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=1e-4,
+    )
+
+
+def test_conv_planar_no_bias():
+    x = jnp.asarray(RNG.standard_normal((1, 4, 16, 128), dtype=np.float32))
+    k = jnp.asarray(
+        RNG.standard_normal((3, 3, 4, 6), dtype=np.float32) * 0.2)
+    ref = conv_planar_ref(x, k, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_planar(x, k, None)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=1e-4,
+    )
+
+
+def test_conv_planar_zero_pad_edges():
+    """Edge pixels must see conv zero-padding, not garbage slack."""
+    x = jnp.ones((1, 3, 16, 128), jnp.float32)
+    k = jnp.ones((3, 3, 3, 2), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(conv_planar(x, k, None), np.float32)
+    # interior: 27; edge row/col: 18; corner: 12
+    assert got[0, 0, 8, 64] == 27.0
+    assert got[0, 0, 0, 64] == 18.0
+    assert got[0, 0, 0, 0] == 12.0
+    assert got[0, 1, 15, 127] == 12.0
