@@ -108,6 +108,20 @@ class RIFE:
         import os
 
         fuse_ds = os.environ.get("RIFE_TPU_FUSE_DS", "1") != "0"
+        # planar (NCHW) execution for narrow-channel nets: on TPU XLA
+        # lane-pads feature-minor layouts to 128 channels, which dominates
+        # those families' cost (BASELINE.md layout analysis).  Env value:
+        # "0" off, "1" all non-v4 nets, or a comma list of net names.
+        planar_env = os.environ.get("RIFE_TPU_PLANAR", "0")
+        if planar_env == "1":
+            planar_nets = None if self.model.family == "v4" else set(
+                self.model.nets
+            )
+        elif planar_env and planar_env != "0":
+            planar_nets = set(planar_env.split(","))
+        else:
+            planar_nets = None
+        planar_nets = planar_nets if use_pallas else None
         for name, net in self.model.nets.items():
             graph = net.graph
             if fuse_ds:
@@ -115,13 +129,23 @@ class RIFE:
                 # compacted tap-grid warps (graph/rewrite.py)
                 graph = fuse_quarter_downscaled_warps(graph)
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
-            self.executors[name] = Executor(
-                graph, jax_ops.OP_TABLE, net.weights,
-                ctx={
-                    "use_pallas_warp": use_pallas,
-                    "u8_image_blobs": frozenset(u8_blobs),
-                },
-            )
+            ctx = {
+                "use_pallas_warp": use_pallas,
+                "u8_image_blobs": frozenset(u8_blobs),
+                "planar_escape": os.environ.get(
+                    "RIFE_TPU_PLANAR_ESCAPE", "0") != "0",
+            }
+            if planar_nets and name in planar_nets:
+                from ..graph.executor import PlanarExecutor
+                from ..ops.planar_ops import OP_TABLE_PLANAR
+
+                self.executors[name] = PlanarExecutor(
+                    graph, OP_TABLE_PLANAR, net.weights, ctx=ctx
+                )
+            else:
+                self.executors[name] = Executor(
+                    graph, jax_ops.OP_TABLE, net.weights, ctx=ctx
+                )
             weights[name] = jax_ops.prepare_weights(graph, net.weights, wdtype)
         self.weights = jax.device_put(weights, self.device)
         self._step_cache: Dict[Tuple, callable] = {}

@@ -70,3 +70,27 @@ class Executor:
                 if top not in blobs:  # pinned blobs always win
                     blobs[top] = val
         return [blobs[b] for b in outputs]
+
+
+class PlanarExecutor(Executor):
+    """Executor whose blobs are carried as (B, C, H, W) planes internally.
+
+    Callers keep the NHWC convention at the boundary: 4D inputs are
+    transposed to planes on entry and extracted blobs back to NHWC on
+    exit.  The op table must be ``planar_ops.OP_TABLE_PLANAR``.  Why: on
+    TPU, XLA lane-pads feature-minor narrow-channel tensors to 128 — the
+    planar table keeps W on lanes and routes narrow convs to the Pallas
+    planar kernel (see ops/planar_ops.py).
+    """
+
+    def run(self, inputs, outputs, ctx=None):
+        pin = {
+            k: (v.transpose(0, 3, 1, 2) if getattr(v, "ndim", 0) == 4
+                else v)
+            for k, v in inputs.items()
+        }
+        outs = super().run(pin, outputs, ctx)
+        return [
+            o.transpose(0, 2, 3, 1) if getattr(o, "ndim", 0) == 4 else o
+            for o in outs
+        ]

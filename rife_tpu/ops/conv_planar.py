@@ -50,10 +50,10 @@ def _round_up(v: int, m: int) -> int:
 
 
 # activation codes (static)
-ACT_NONE, ACT_RELU, ACT_LEAKY = 0, 1, 2
+ACT_NONE, ACT_RELU, ACT_LEAKY, ACT_PRELU = 0, 1, 2, 3
 
 
-def _conv_planar_kernel(x_hbm, w_ref, b_ref, o_ref, band, sem, *,
+def _conv_planar_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, sem, *,
                         cin: int, cout: int, kh: int, kw: int,
                         wo_pad: int, act: int, alpha: float):
     # x_hbm is (B, hp, Cin, Wp) — rows major of channels, so each tap
@@ -83,11 +83,13 @@ def _conv_planar_kernel(x_hbm, w_ref, b_ref, o_ref, band, sem, *,
             acc = jnp.maximum(acc, 0.0)
         elif act == ACT_LEAKY:
             acc = jnp.where(acc >= 0, acc, acc * alpha)
+        elif act == ACT_PRELU:
+            acc = jnp.where(acc >= 0, acc, acc * s_ref[:])
         o_ref[0, 0, r] = acc.astype(o_ref.dtype)
 
 
 def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
-                     alpha=0.2):
+                     alpha=0.2, slope=None):
     """Raw kernel entry: BHCW in, BHCW out (both padded).
 
     ``xp`` is (B, hp, Cin, Wp) — conv zero-padding already baked in (data
@@ -96,9 +98,12 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
     Cout, Wp - 128); callers crop rows/cols.  ``wmat`` (kh*kw, Cout, Cin).
     """
     b, hp, cin, wp = xp.shape
+    assert cin % TH == 0, "BHCW channel dim must be 8-aligned (zero-pad)"
     cout = wmat.shape[1]
     wo_pad = wp - LANE
     n_h = _round_up(out_h, TH) // TH
+    if slope is None:
+        slope = jnp.zeros((cout, 1), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
@@ -109,6 +114,8 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((kh * kw, cout, cin), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -124,7 +131,7 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
             pltpu.VMEM((TH + kh - 1, cin, wp), xp.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(xp, wmat, bias)
+    )(xp, wmat, bias, slope)
 
     return out.reshape(b, n_h * TH, cout, wo_pad)
 
@@ -134,28 +141,35 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
     static_argnames=("kh", "kw", "pad", "act", "alpha", "out_h", "out_w"),
 )
 def _conv_planar_s1(x, wmat, bias, *, kh, kw, pad, act, alpha,
-                    out_h, out_w):
+                    out_h, out_w, slope=None):
     """x (B, Cin, H, W) -> (B, Cout, out_h, out_w); stride 1."""
     b, cin, h, w = x.shape
     wo_pad = _round_up(out_w, LANE)
     wp = wo_pad + LANE
     hp = _round_up(out_h, TH) + kh - 1
-    # bake conv zero-padding into the plane: data at rows/cols [pad, ...),
+    # bake conv zero-padding into the plane: data at rows/cols [pad, ...);
+    # channels zero-padded to the 8-sublane tile (DMA slice alignment);
     # then go BHCW so each row is a contiguous (Cin, Wp) channel slab
     xp = jnp.pad(
-        x, ((0, 0), (0, 0), (pad, hp - h - pad), (pad, wp - w - pad))
+        x, ((0, 0), (0, _round_up(cin, TH) - cin),
+            (pad, hp - h - pad), (pad, wp - w - pad))
     ).transpose(0, 2, 1, 3)
     out = conv_planar_bhcw(xp, wmat, bias, kh=kh, kw=kw, out_h=out_h,
-                           act=act, alpha=alpha)
+                           act=act, alpha=alpha, slope=slope)
     return out[:, :out_h, :, :out_w].transpose(0, 2, 1, 3)
 
 
 def pack_weights(w_hwio, cin, dtype=jnp.bfloat16):
-    """(kh,kw,Cin,Cout) -> (kh*kw, Cout, Cin) per-tap lhs matrices."""
+    """(kh,kw,Cin,Cout) -> (kh*kw, Cout, round_up(Cin,8)) per-tap lhs.
+
+    Cin is zero-padded to the sublane tile: the BHCW channel dim is
+    second-minor in HBM, and DMA slices along it must be 8-aligned."""
     kh, kw, ci, co = w_hwio.shape
-    return (
-        w_hwio.astype(dtype).reshape(kh * kw, ci, co).transpose(0, 2, 1)
-    )
+    wm = w_hwio.astype(dtype).reshape(kh * kw, ci, co).transpose(0, 2, 1)
+    cp = _round_up(ci, TH)
+    if cp != ci:
+        wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - ci)))
+    return wm
 
 
 def planar_s2d(x):
@@ -174,10 +188,7 @@ def _remap_s2_weights(w_hwio):
     """
     kh, kw, ci, co = w_hwio.shape
     assert kh == 3 and kw == 3
-    import numpy as np
-
-    w = np.asarray(w_hwio)
-    wn = np.zeros((2, 2, ci * 4, co), w.dtype)
+    wn = jnp.zeros((2, 2, ci * 4, co), w_hwio.dtype)
     for ky in range(3):
         r = ky - 1
         py = r % 2
@@ -186,22 +197,24 @@ def _remap_s2_weights(w_hwio):
             c_ = kx - 1
             px = c_ % 2
             bb = (c_ - px) // 2 + 1
-            wn[a, bb, py * 2 + px :: 4, :] = w[ky, kx]
-    return jnp.asarray(wn)
+            wn = wn.at[a, bb, py * 2 + px :: 4, :].set(w_hwio[ky, kx])
+    return wn
 
 
 def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
-                act=ACT_NONE, alpha=0.2):
+                act=ACT_NONE, alpha=0.2, slope=None):
     """NCHW conv via the planar Pallas kernel.
 
     x (B, Cin, H, W); w (kh, kw, Cin, Cout) as in jax_ops.conv2d; stride
     1 or 2 (stride 2 requires kh=kw=3, pad=1 — the zoo's only s2 shape).
+    ``slope`` (Cout,) enables fused per-channel PReLU when act=ACT_PRELU.
     Returns (B, Cout, Hout, Wout).
     """
     b, cin, h, w = x.shape
     kh, kw, _, cout = w_hwio.shape
     bb = (jnp.zeros((cout, 1), jnp.float32) if bias is None
           else bias.reshape(cout, 1).astype(jnp.float32))
+    sl = None if slope is None else slope.reshape(cout, 1).astype(jnp.float32)
     wdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if stride == 2:
         # 3x3 s2 p1 == 2x2 s1 p1 over 2x2 phase planes, cropped to H/2 x W/2
@@ -211,7 +224,7 @@ def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
         wm = pack_weights(_remap_s2_weights(w_hwio), cin * 4, wdt)
         return _conv_planar_s1(
             xs, wm, bb, kh=2, kw=2, pad=1, act=act, alpha=alpha,
-            out_h=h // 2, out_w=w // 2,
+            out_h=h // 2, out_w=w // 2, slope=sl,
         )
     assert stride == 1
     out_h = h + 2 * pad - (kh - 1)
@@ -219,8 +232,46 @@ def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
     wm = pack_weights(w_hwio, cin, wdt)
     return _conv_planar_s1(
         x, wm, bb, kh=kh, kw=kw, pad=pad, act=act, alpha=alpha,
-        out_h=out_h, out_w=out_w,
+        out_h=out_h, out_w=out_w, slope=sl,
     )
+
+
+def _deconv_phase_weights(wf):
+    """ConvTranspose 4x4 s2 p1 (as the spatially-flipped HWIO kernel fed to
+    ``jax_ops.deconv2d``) -> one 3x3 s1 p1 kernel producing all four output
+    phases stacked on out-channels (phase (py,px) major).
+
+    deconv2d computes out[o] = sum_t xd[o-2+t]*wf[t] over the 2x-dilated
+    input; per parity that collapses to 2 taps: even o=2m: (wf0 @ x[m-1],
+    wf2 @ x[m]); odd o=2m+1: (wf1 @ x[m], wf3 @ x[m+1]).  Expressed on the
+    common 3-tap window (x[m-1], x[m], x[m+1]): even=(wf0, wf2, 0),
+    odd=(0, wf1, wf3) — per axis, outer product over (ky, kx)."""
+    _, _, ci, co = wf.shape
+    taps = {0: {0: 0, 1: 2}, 1: {1: 1, 2: 3}}  # parity -> {3tap: wf tap}
+    w3 = jnp.zeros((3, 3, ci, 4 * co), wf.dtype)
+    for py, rmap in taps.items():
+        for px, cmap in taps.items():
+            blk = slice((py * 2 + px) * co, (py * 2 + px + 1) * co)
+            for ry, a in rmap.items():
+                for rx, bb in cmap.items():
+                    w3 = w3.at[ry, rx, :, blk].set(wf[a, bb])
+    return w3
+
+
+def deconv_planar(x, w_hwio_flipped, bias=None, *, act=ACT_NONE,
+                  alpha=0.2, slope=None):
+    """NCHW ConvTranspose 4x4 s2 p1 via one planar conv producing the four
+    output phases, then a phase interleave.  Matches ``jax_ops.deconv2d``
+    (same spatially-flipped HWIO weight layout)."""
+    b, cin, h, w = x.shape
+    co = w_hwio_flipped.shape[-1]
+    w3 = _deconv_phase_weights(w_hwio_flipped)
+    bb = None if bias is None else jnp.tile(bias.reshape(co), 4)
+    sl = None if slope is None else jnp.tile(slope.reshape(co), 4)
+    y4 = conv_planar(x, w3, bb, stride=1, pad=1, act=act, alpha=alpha,
+                     slope=sl)
+    y = y4.reshape(b, 2, 2, co, h, w).transpose(0, 3, 4, 1, 5, 2)
+    return y.reshape(b, co, 2 * h, 2 * w)
 
 
 def conv_planar_ref(x, w_hwio, bias=None, *, stride=1, pad=1,

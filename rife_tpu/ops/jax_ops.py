@@ -351,21 +351,54 @@ _UNARY = {
 
 def _op_convolution(node, inputs, w: LayerWeights, ctx):
     _, k, dilation, stride, pad, _ = C.conv_hyperparams(node)
-    y = conv2d(
-        inputs[0], ctx["w"][node.name]["hwio"], ctx["w"][node.name]["bias"],
-        stride=stride, pad=pad, dilation=dilation,
-    )
+    x = inputs[0]
+    hwio = ctx["w"][node.name]["hwio"]
+    bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
+    if ctx.get("use_pallas_warp") and ctx.get("planar_escape"):
+        # narrow-channel monsters (XLA lane-pads C to 128; see
+        # BASELINE.md layout analysis) route via the planar Pallas kernel
+        from . import planar_ops as P
+
+        cin, cout = hwio.shape[2], hwio.shape[3]
+        if (x.shape[1] * x.shape[2] >= 400_000
+                and act in P._ACT_MAP
+                and P._planar_conv_ok(cin, cout, x.shape[1], x.shape[2],
+                                      stride, k, dilation, pad)):
+            from .conv_planar import conv_planar
+
+            alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
+            y = conv_planar(
+                x.transpose(0, 3, 1, 2), hwio, bias, stride=stride,
+                pad=pad, act=P._ACT_MAP[act], alpha=alpha,
+            )
+            return [y.transpose(0, 2, 3, 1)]
+    y = conv2d(x, hwio, bias, stride=stride, pad=pad, dilation=dilation)
     return [apply_activation(y, act, params)]
 
 
 def _op_deconvolution(node, inputs, w, ctx):
     _, k, _, stride, pad, _ = C.conv_hyperparams(node)
-    y = deconv2d(
-        inputs[0], ctx["w"][node.name]["hwio"], ctx["w"][node.name]["bias"],
-        stride=stride, pad=pad,
-    )
+    x = inputs[0]
+    hwio = ctx["w"][node.name]["hwio"]
+    bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
+    if ctx.get("use_pallas_warp") and ctx.get("planar_escape"):
+        from . import planar_ops as P
+
+        cin, cout = hwio.shape[2], hwio.shape[3]
+        if (x.shape[1] * x.shape[2] >= 25_000
+                and act in P._ACT_MAP
+                and P._planar_deconv_ok(cin, cout, k, stride, pad)):
+            from .conv_planar import deconv_planar
+
+            alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
+            y = deconv_planar(
+                x.transpose(0, 3, 1, 2), hwio, bias,
+                act=P._ACT_MAP[act], alpha=alpha,
+            )
+            return [y.transpose(0, 2, 3, 1)]
+    y = deconv2d(x, hwio, bias, stride=stride, pad=pad)
     return [apply_activation(y, act, params)]
 
 

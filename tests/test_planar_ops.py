@@ -1,0 +1,96 @@
+"""Planar (NCHW) op table parity vs the NHWC table on real graphs.
+
+The planar mode is the TPU narrow-channel execution path (see
+ops/planar_ops.py); on CPU sessions it is disabled, so parity here is
+pinned explicitly: the same graph run through ``PlanarExecutor`` +
+``OP_TABLE_PLANAR`` (Pallas convs in interpret mode, ``planar_all`` so
+the narrow-conv path fires at test sizes) must match the standard NHWC
+``Executor`` bit-for-bit at f32 tolerances.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rife_tpu.graph.executor import Executor, PlanarExecutor
+from rife_tpu.graph.param import parse_param
+from rife_tpu.graph.weights import load_bin
+from rife_tpu.ops import jax_ops
+from rife_tpu.ops.planar_ops import OP_TABLE_PLANAR
+
+BASE = "/root/reference/models/rife-v2.3/contextnet"
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def ctxnet():
+    g = parse_param(BASE + ".param")
+    w = load_bin(g, BASE + ".bin")
+    prepared = jax_ops.prepare_weights(g, w)
+    return g, w, prepared
+
+
+def test_contextnet_planar_matches_nhwc(ctxnet):
+    g, w, prepared = ctxnet
+    img = jnp.asarray(RNG.uniform(0, 1, (1, 32, 64, 3)), jnp.float32)
+    flow = jnp.asarray(
+        RNG.normal(size=(1, 16, 32, 2)) * 2, jnp.float32)
+    outs = ["f1", "f2", "f3", "f4"]
+    ref_ex = Executor(g, jax_ops.OP_TABLE, w, ctx={"w": prepared})
+    ref = ref_ex.run({"input.1": img, "flow.0": flow}, outs)
+    pl_ex = PlanarExecutor(
+        g, OP_TABLE_PLANAR, w,
+        ctx={"w": prepared, "use_pallas_warp": True, "planar_all": True},
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = pl_ex.run({"input.1": img, "flow.0": flow}, outs)
+    for name, r, p in zip(outs, ref, got):
+        assert p.shape == r.shape, name
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), atol=5e-5, err_msg=name)
+
+
+def test_deconv_planar_matches_deconv2d():
+    from rife_tpu.ops.conv_planar import deconv_planar
+
+    ci, co, h, w = 6, 4, 8, 128
+    x = jnp.asarray(RNG.standard_normal((2, ci, h, w), dtype=np.float32))
+    wf = jnp.asarray(
+        RNG.standard_normal((4, 4, ci, co), dtype=np.float32) * 0.2)
+    bias = jnp.asarray(RNG.standard_normal((co,), dtype=np.float32))
+    ref = jax_ops.deconv2d(
+        x.transpose(0, 2, 3, 1), wf, bias, stride=2, pad=1
+    ).transpose(0, 3, 1, 2)
+    with pltpu.force_tpu_interpret_mode():
+        got = deconv_planar(x, wf, bias)
+    assert got.shape == ref.shape == (2, co, 2 * h, 2 * w)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_resize2d_nchw_matches_nhwc():
+    from rife_tpu.ops.planar_ops import resize2d_nchw
+
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 5, 12, 20)), jnp.float32)
+    for oh, ow in ((24, 40), (6, 10), (48, 80)):
+        ref = jax_ops.resize2d(
+            x.transpose(0, 2, 3, 1), oh, ow).transpose(0, 3, 1, 2)
+        got = resize2d_nchw(x, oh, ow)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pixelshuffle_planar_matches_nhwc():
+    from rife_tpu.ops.planar_ops import _op_pixelshuffle
+
+    class N:
+        def p(self, k, d=None):
+            return 2
+
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 12, 6, 8)), jnp.float32)
+    ref = jax_ops.pixel_shuffle(
+        x.transpose(0, 2, 3, 1), 2).transpose(0, 3, 1, 2)
+    got = _op_pixelshuffle(N(), [x], None, {})[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
