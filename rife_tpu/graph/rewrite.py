@@ -59,16 +59,21 @@ def _consumer_counts(nodes: List[LayerNode]) -> Dict[str, int]:
     return counts
 
 
-def _is_quarter_bilinear(node: LayerNode) -> bool:
-    return (
+def _downscale_bilinear(node: LayerNode):
+    """Scale factor (0.25 or 0.5) for a plain bilinear downscale Interp,
+    else None."""
+    if (
         node.type == "Interp"
         and int(node.p(0, 0)) == 2
-        and float(node.p(1, 0.0)) == 0.25
-        and float(node.p(2, 0.0)) == 0.25
         and int(node.p(3, 0)) == 0
         and int(node.p(4, 0)) == 0
         and len(node.bottoms) == 1
-    )
+        and float(node.p(1, 0.0)) == float(node.p(2, 0.0))
+    ):
+        s = float(node.p(1, 0.0))
+        if s in (0.25, 0.5):
+            return s
+    return None
 
 
 def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
@@ -76,7 +81,7 @@ def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
     were not rewritten); no weighted layer is added or removed."""
     nodes = list(graph.nodes)
     changed = True
-    n_fused = 0
+    n_rewrites = 0
     while changed:
         changed = False
         counts = _consumer_counts(nodes)
@@ -85,7 +90,8 @@ def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
             for top in node.tops:
                 producer[top] = idx
         for i, node in enumerate(nodes):
-            if not _is_quarter_bilinear(node):
+            scale = _downscale_bilinear(node)
+            if scale is None:
                 continue
             src = node.bottoms[0]
             if src not in producer or counts.get(src, 0) != 1:
@@ -122,17 +128,23 @@ def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
                 idx_p = producer[src]
                 assert idx_p < i  # param files are topological
                 del nodes[idx_p]
+                n_rewrites += 1
                 changed = True
                 break
-            if p.type == "rife.Warp" and len(p.bottoms) == 2:
-                # R2: fuse into the compacted tap-grid warp
+            if (scale == 0.25 and p.type == "rife.Warp"
+                    and len(p.bottoms) == 2):
+                # R2: fuse into the compacted tap-grid warp (only the 1/4
+                # downscale skips pixels; 1/2 reads every warped pixel, so
+                # those pairs stay as warp + exact phase-decomposed resize
+                # on the warp's own narrow plane — R1 has already kept the
+                # wide full-res concat from materializing)
                 nodes[i] = LayerNode(
                     "rife.WarpDs4", f"{node.name}__fused",
                     list(p.bottoms), list(node.tops), {},
                 )
-                n_fused += 1
+                n_rewrites += 1
                 changed = True
                 break
-    if n_fused == 0:
+    if n_rewrites == 0:
         return graph
     return _rebuild(nodes, list(graph.input_blobs))
