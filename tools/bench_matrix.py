@@ -20,6 +20,9 @@ CONFIGS = [
     ("v4.6 1080p 2x B=8", "rife-v4.6", {}, (1080, 1920), 8, 6),
     ("v4.6 720p 2x B=8", "rife-v4.6", {}, (720, 1280), 8, 6),
     ("v2.3 1080p 2x B=4", "rife-v2.3", {}, (1080, 1920), 4, 4),
+    ("v1 (rife) 1080p 2x B=4", "rife", {}, (1080, 1920), 4, 4),
+    ("v1 (anime) 1080p 2x B=4", "rife-anime", {}, (1080, 1920), 4, 4),
+    ("v3.1 1080p 2x B=4", "rife-v3.1", {}, (1080, 1920), 4, 4),
     ("v4.6 1080p -x TTA B=1", "rife-v4.6", {"tta_mode": True}, (1080, 1920), 1, 3),
     ("v4.6 1080p -z TTA B=2", "rife-v4.6", {"tta_temporal_mode": True}, (1080, 1920), 2, 3),
     ("v2.3 1080p -x TTA B=1", "rife-v2.3", {"tta_mode": True}, (1080, 1920), 1, 3),
