@@ -362,6 +362,7 @@ def _op_convolution(node, inputs, w: LayerWeights, ctx):
 
         cin, cout = hwio.shape[2], hwio.shape[3]
         if (x.shape[1] * x.shape[2] >= 400_000
+                and cin <= int(ctx.get("planar_escape_max_cin", 16))
                 and act in P._ACT_MAP
                 and P._planar_conv_ok(cin, cout, x.shape[1], x.shape[2],
                                       stride, k, dilation, pad)):
