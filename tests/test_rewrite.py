@@ -87,3 +87,22 @@ def test_v46_flownet_rewrite_bit_exact_end_to_end():
     ref, got = run(g), run(g2)
     for name, r, o in zip(outs, ref, got):
         np.testing.assert_array_equal(o, r, err_msg=name)
+
+
+def test_rewrite_distributes_half_downscale():
+    """R1 also distributes block2's Interp(1/2) across its concat
+    (rife-v4.6 flownet upsample_15, cat_7 at param lines 113-114): the
+    full-res 8ch concat must no longer exist; per-input Interp __part
+    nodes replace it.  No WarpDs2 node exists (1/2 reads every pixel —
+    only the concat distribution applies)."""
+    g = parse_param(V46)
+    g2 = fuse_quarter_downscaled_warps(g)
+    names = {n.name for n in g2.nodes}
+    # the v4.6 block2 downscale node is replaced by per-input parts + cat
+    assert "upsample_15" not in names
+    parts = [n for n in g2.nodes if n.name.startswith("upsample_15__part")]
+    assert len(parts) == 4  # warped0, warped1, timestep, mask
+    assert all(n.type == "Interp" for n in parts)
+    assert any(n.name == "upsample_15__cat" for n in g2.nodes)
+    # the original full-res concat (cat_7) is gone
+    assert "cat_7" not in names
