@@ -196,14 +196,24 @@ def resize2d(x, out_h, out_w, method="bilinear"):
 
     Integer and 1/even-integer scale factors (the only ones in the model zoo:
     16, 8, 4, 2, 1/2, 1/4, 1/8) take an exact phase-decomposed VPU path; any
-    other ratio falls back to jax.image.resize."""
+    other ratio falls back to jax.image.resize.
+
+    Narrow-channel tensors (flows, masks, images: C <= 8) run the phase
+    path in NCHW internally: XLA lane-pads feature-minor layouts to 128,
+    so the take/stack intermediates of the NHWC form cost 16-42x their
+    true bytes in HBM (they were the single largest padded-buffer class
+    in the compiled v4.6 step — see BASELINE.md).  The surrounding
+    transposes sit between elementwise ops, where XLA is free to pick
+    matching layouts, and the per-channel arithmetic is identical."""
     b, h, w, c = x.shape
     if (out_h, out_w) == (h, w):
         return x
     if method == "bilinear":
-        y = x
+        nchw = 1 < c <= 8
+        y = x.transpose(0, 3, 1, 2) if nchw else x
+        a0 = 2 if nchw else 1
         ok = True
-        for axis, (src, dst) in ((1, (h, out_h)), (2, (w, out_w))):
+        for axis, (src, dst) in ((a0, (h, out_h)), (a0 + 1, (w, out_w))):
             if dst == src:
                 continue
             if dst % src == 0:
@@ -214,7 +224,7 @@ def resize2d(x, out_h, out_w, method="bilinear"):
                 ok = False
                 break
         if ok:
-            return y
+            return y.transpose(0, 2, 3, 1) if nchw else y
     mth = "linear" if method == "bilinear" else method
     return jax.image.resize(x, (b, out_h, out_w, c), method=mth, antialias=False)
 
