@@ -281,9 +281,17 @@ def warp_at(image, sy, sx):
 
 
 def pixel_shuffle(x, r):
-    """torch.pixel_shuffle semantics in NHWC: C = c*r^2 + i*r + j."""
+    """torch.pixel_shuffle semantics in NHWC: C = c*r^2 + i*r + j.
+
+    Narrow tensors (the zoo's pixelshuffles are all 22-24ch -> 5-6ch)
+    run the shuffle in NCHW internally — the NHWC interleave's
+    feature-minor intermediates are lane-padded 5-21x (see resize2d)."""
     b, h, w, crr = x.shape
     c = crr // (r * r)
+    if crr <= 32:
+        y = x.transpose(0, 3, 1, 2).reshape(b, c, r, r, h, w)
+        y = y.transpose(0, 1, 4, 2, 5, 3).reshape(b, c, h * r, w * r)
+        return y.transpose(0, 2, 3, 1)
     x = x.reshape(b, h, w, c, r, r)
     x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * r, w * r, c)

@@ -327,10 +327,23 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False):
             constant_values=val,
         )
 
-    # (B,H,W,C2,2) bf16 -> i32 words; planes (B*C2, Hp, Wp)
-    pairs = image.astype(jnp.bfloat16).reshape(b, h, w, c2, 2)
-    words = lax.bitcast_convert_type(pairs, jnp.int32)
-    words = pad2(words.transpose(0, 3, 1, 2).reshape(b * c2, h, w))
+    # channel pairs -> i32 words via per-plane shifts (little-endian,
+    # identical to bitcasting bf16[2]; avoids the feature-minor lane-padded
+    # intermediate the vector bitcast forces); planes (B*C2, Hp, Wp)
+    def _chan_u16(ci):
+        pl16 = lax.bitcast_convert_type(
+            image[..., ci].astype(jnp.bfloat16), jnp.uint16
+        )
+        return pl16.astype(jnp.int32)
+
+    words = jnp.stack(
+        [
+            _chan_u16(2 * k) | (_chan_u16(2 * k + 1) << 16)
+            for k in range(c2)
+        ],
+        axis=1,
+    )  # (B, C2, H, W)
+    words = pad2(words.reshape(b * c2, h, w))
     # EDGE-pad the index/weight operands: zero-padding poisons the padded
     # columns' y0/x0 with 0, dragging every window's dynamic band/tile range
     # down to the frame origin — at widths that aren't lane multiples (e.g.
@@ -902,14 +915,18 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
     nt_w = wp_o // LANE
 
-    q = jnp.round(
-        jnp.clip(image.astype(jnp.float32), 0.0, 1.0) * 255.0
-    ).astype(jnp.uint8)
-    if c < 4:
-        q = jnp.concatenate(
-            [q, jnp.zeros((b, h, w, 4 - c), jnp.uint8)], axis=-1
-        )
-    words = lax.bitcast_convert_type(q, jnp.int32)  # (B,H,W)
+    # per-plane arithmetic packing (little-endian, identical to bitcasting
+    # a u8[4] vector): the bitcast form forces a (B,H,W,4) u8 feature-minor
+    # intermediate that XLA lane-pads 32x (6.4 GB at B=24); channel-plane
+    # slices + shifts keep everything W-minor
+    def _chan_u8(i):
+        return jnp.round(
+            jnp.clip(image[..., i].astype(jnp.float32), 0.0, 1.0) * 255.0
+        ).astype(jnp.int32)
+
+    words = _chan_u8(0)
+    for ci in range(1, c):
+        words = words | (_chan_u8(ci) << (8 * ci))  # (B,H,W)
 
     if abs_pos:
         sx = flow[..., 0].astype(jnp.float32)
