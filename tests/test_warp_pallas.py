@@ -173,3 +173,32 @@ def test_warp_pallas_abs_pos_decoupled_grid(dtype, u8):
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=2e-2 if dtype == "bfloat16" else 1e-5,
     )
+
+
+def test_arithmetic_word_packing_matches_bitcast():
+    """The warp drivers build gather words with per-plane shifts; pin them
+    against the vector-bitcast formulation they replaced (little-endian:
+    channel 0 in the low bits), for both the u8 quad and the bf16 pair."""
+    from jax import lax
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (2, 4, 8, 4)).astype(np.uint8)
+    img = jnp.asarray(raw.astype(np.float32) / 255.0)
+
+    # u8 quad: bitcast reference
+    ref = lax.bitcast_convert_type(jnp.asarray(raw), jnp.int32)
+    got = None
+    for ci in range(4):
+        ch = jnp.round(
+            jnp.clip(img[..., ci].astype(jnp.float32), 0, 1) * 255.0
+        ).astype(jnp.int32)
+        got = ch if got is None else got | (ch << (8 * ci))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # bf16 pair
+    vals = jnp.asarray(rng.normal(size=(2, 4, 8, 2)), jnp.bfloat16)
+    ref2 = lax.bitcast_convert_type(vals, jnp.int32)
+    lo = lax.bitcast_convert_type(vals[..., 0], jnp.uint16).astype(jnp.int32)
+    hi = lax.bitcast_convert_type(vals[..., 1], jnp.uint16).astype(jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(lo | (hi << 16)), np.asarray(ref2))
