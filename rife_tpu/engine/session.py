@@ -119,15 +119,30 @@ class RIFE:
             )
         elif planar_env and planar_env != "0":
             planar_nets = set(planar_env.split(","))
+            unknown = planar_nets - set(self.model.nets)
+            if unknown:
+                raise ValueError(
+                    f"RIFE_TPU_PLANAR names unknown nets {sorted(unknown)}; "
+                    f"model {self.model.name} has {sorted(self.model.nets)}"
+                )
         else:
             planar_nets = None
         planar_nets = planar_nets if use_pallas else None
+        # blobs each pipeline may extract from a net (engine/pipelines.py);
+        # the rewrite must never consume these
+        _EXTRACTABLE = {
+            "flownet": ("flow", "flow0", "flow1", "flow2", "flow3", "out0"),
+            "contextnet": ("f1", "f2", "f3", "f4"),
+            "fusionnet": ("output",),
+        }
         for name, net in self.model.nets.items():
             graph = net.graph
             if fuse_ds:
                 # exact rewrite: warp-then-quarter-downscale pairs become
                 # compacted tap-grid warps (graph/rewrite.py)
-                graph = fuse_quarter_downscaled_warps(graph)
+                graph = fuse_quarter_downscaled_warps(
+                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                )
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
             ctx = {
                 "use_pallas_warp": use_pallas,

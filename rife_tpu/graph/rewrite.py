@@ -76,9 +76,16 @@ def _downscale_bilinear(node: LayerNode):
     return None
 
 
-def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
+def fuse_quarter_downscaled_warps(
+    graph: Graph, protected: frozenset = frozenset()
+) -> Graph:
     """Apply R1 + R2 until fixpoint.  Returns a new Graph (shares nodes that
-    were not rewritten); no weighted layer is added or removed."""
+    were not rewritten); no weighted layer is added or removed.
+
+    ``protected`` is the set of blob names callers may extract from the
+    rewritten graph (flow taps, net outputs): a rewrite that would consume
+    one of those blobs is skipped, so extraction stays safe by construction
+    instead of by the convention that pipelines only pull taps/outputs."""
     nodes = list(graph.nodes)
     changed = True
     n_rewrites = 0
@@ -95,6 +102,8 @@ def fuse_quarter_downscaled_warps(graph: Graph) -> Graph:
                 continue
             src = node.bottoms[0]
             if src not in producer or counts.get(src, 0) != 1:
+                continue
+            if src in protected:
                 continue
             p = nodes[producer[src]]
             if p.type == "Concat" and len(p.tops) == 1 and int(

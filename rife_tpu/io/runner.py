@@ -240,6 +240,13 @@ class PipelineRunner:
                 flush(key)
 
     def _save(self):
+        # Bound in-flight encodes so the depth-8 ``tosave`` queue actually
+        # exerts backpressure on proc: without this the executor's internal
+        # queue is unbounded and decoded+rendered frames pile up in memory
+        # whenever encode is slower than proc.  The reference's bounded
+        # queues are its memory contract (/root/reference/src/main.cpp:259).
+        inflight = threading.BoundedSemaphore(2 * self.jobs_save)
+
         def encode(task: Task):
             t0 = time.perf_counter()
             try:
@@ -256,6 +263,7 @@ class PipelineRunner:
                 self._record_error(f"encode {task.out_path}: {e}")
             finally:
                 task.in0 = task.in1 = task.out = None  # free pixels
+                inflight.release()
 
         n_procs = len(self.process_batches)
         finished_procs = 0
@@ -265,6 +273,7 @@ class PipelineRunner:
                 if task is None:
                     finished_procs += 1
                     continue
+                inflight.acquire()  # blocks -> tosave fills -> proc blocks
                 pool.submit(encode, task)
 
     # -- driver ----------------------------------------------------------------

@@ -112,7 +112,7 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
         ),
         grid=(b, n_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((kh * kw, cout, cin), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout, 1), lambda i, j: (0, 0),

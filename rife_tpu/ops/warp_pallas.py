@@ -977,17 +977,19 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             hp=hp,
         )
         scratch = [
-            pltpu.VMEM((2 * TH, wp), jnp.int32),  # staged band pair
-            pltpu.VMEM((TH, wp), jnp.float32),    # acc r
-            pltpu.VMEM((TH, wp), jnp.float32),    # acc g
-            pltpu.VMEM((TH, wp), jnp.float32),    # acc b
+            pltpu.VMEM((2 * TH, wp), jnp.int32),   # staged band pair (src)
+            pltpu.VMEM((TH, wp_o), jnp.float32),   # acc r (output grid)
+            pltpu.VMEM((TH, wp_o), jnp.float32),   # acc g
+            pltpu.VMEM((TH, wp_o), jnp.float32),   # acc b
             pltpu.SemaphoreType.DMA,
         ]
         # per-(stripe, window) iteration ranges, reduced in one fused XLA
-        # pass (in-kernel cross-lane reductions are the per-stripe floor)
-        n_stripes = hp // TH
+        # pass (in-kernel cross-lane reductions are the per-stripe floor).
+        # Tables/outputs are sized on the OUTPUT grid (hp_o/wp_o) like the
+        # sibling branches; sdelta asserts abs_pos off so they equal hp/wp.
+        n_stripes = hp_o // TH
         y0p, x0p = operands[0], operands[1]
-        rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)[None]
+        rows = lax.broadcasted_iota(jnp.int32, (hp_o, wp_o), 0)[None]
         y1p = jnp.minimum(y0p + 1, h - 1)
         x1p = jnp.minimum(x0p + 1, w - 1)
 
@@ -1014,10 +1016,10 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             grid=grid,
             in_specs=[img_spec] + [idx_spec] * 4 + [smem_spec] * 4,
             out_specs=[out_spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct((b, hp, wp), out_dtype)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 3,
             scratch_shapes=scratch,
         )(words, *operands, *ranges)
-        return jnp.stack(outs, axis=-1)[:, :h, :w, :c]
+        return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     elif slab_mode:
         kernel = functools.partial(
             _warp_kernel_u8_slab, nt_w=nt_w, h_max=h - 1, w_max=w - 1

@@ -110,6 +110,51 @@ def test_runner_async_error_capture(frames, tmp_path):
     assert len(list(out.iterdir())) == 0
 
 
+def test_runner_save_backpressure(frames, tmp_path, monkeypatch):
+    """A slow encoder must propagate backpressure to proc: live rendered
+    frames are bounded by tosave depth + 2*jobs_save in-flight encodes,
+    NOT by the task count (the reference's bounded-queue memory contract,
+    /root/reference/src/main.cpp:259)."""
+    import threading
+    import rife_tpu.io.runner as runner_mod
+
+    out = tmp_path / "out"
+    out.mkdir()
+    live = 0
+    peak = 0
+    lock = threading.Lock()
+
+    real_encode = runner_mod.encode_image
+
+    def slow_encode(path, arr):
+        nonlocal live
+        import time as _t
+        _t.sleep(0.03)
+        real_encode(path, arr)
+        with lock:
+            live -= 1
+
+    monkeypatch.setattr(runner_mod, "encode_image", slow_encode)
+
+    def fast_proc(in0, in1, ts):
+        nonlocal live, peak
+        with lock:
+            live += len(ts)
+            peak = max(peak, live)
+        return _mean_blend(in0, in1, ts)
+
+    n = 64
+    jobs_save = 2
+    runner = PipelineRunner([fast_proc], batch_size=1, jobs_save=jobs_save)
+    errors = runner.run(_tasks(frames, out, n))
+    assert errors == []
+    assert len(list(out.iterdir())) == n
+    # bound: tosave depth (8) + 2*jobs_save in-flight encodes + 1 held by
+    # proc while put() blocks + 1 held by save between get() and acquire()
+    bound = runner_mod.QUEUE_DEPTH + 2 * jobs_save + 2
+    assert peak <= bound, f"peak live frames {peak} > bound {bound}"
+
+
 def test_runner_per_device_batch_sizes(frames, tmp_path):
     out = tmp_path / "out"
     out.mkdir()
