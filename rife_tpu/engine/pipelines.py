@@ -204,8 +204,13 @@ def _v4_flow_pyramid(ex, cfg, W, i0, i1, tplane, pinned_prev):
     return ex.run(inputs, [V4_TAPS[fi]], ctx)[0]
 
 
-def _v4_out(ex, cfg, W, i0, i1, tplane, pinned):
+def _v4_out(ex, cfg, W, i0, i1, tplane, pinned, planar_out=False):
     ctx = _mkctx(cfg, W, "flownet")
+    if planar_out:
+        # region-planar executor: keep the final render chain (warps, mask
+        # blend — all 1-6 channels at full res) as planes and convert only
+        # the u8 result (frame.postprocess_nchw)
+        ctx["planar_outputs"] = frozenset(("out0",))
     inputs = {"in0": i0, "in1": i1, "in2": tplane}
     inputs.update(pinned)
     return ex.run(inputs, ["out0"], ctx)[0]
@@ -221,7 +226,10 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
     t = frame.timestep_plane(timestep, b, pad_h, pad_w, cfg.jdtype)
 
     if not cfg.tta_mode and not cfg.tta_temporal_mode:
-        out = _v4_out(ex, cfg, W, img0, img1, t, {})
+        planar = getattr(ex, "planar_capable", False)
+        out = _v4_out(ex, cfg, W, img0, img1, t, {}, planar_out=planar)
+        if planar:
+            return frame.postprocess_nchw(out, h, w)
         return frame.postprocess(out, h, w)
 
     if not cfg.tta_mode:

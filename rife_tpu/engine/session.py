@@ -149,13 +149,36 @@ class RIFE:
                 "u8_image_blobs": frozenset(u8_blobs),
                 "planar_escape": os.environ.get(
                     "RIFE_TPU_PLANAR_ESCAPE", "0") != "0",
+                # region-layout measurement knobs (graph/layout.py)
+                # planar conv/deconv anchors measured NET-NEGATIVE in-program
+                # at B=24 1080p (47.95 -> 40.3 fps) despite winning isolated
+                # chains — default off until that inversion is understood
+                "layout_planar_conv": os.environ.get(
+                    "RIFE_TPU_LAYOUT_CONV", "0") != "0",
+                "layout_planar_deconv": os.environ.get(
+                    "RIFE_TPU_LAYOUT_DECONV", "0") != "0",
+                "layout_narrow_min_hw": int(os.environ.get(
+                    "RIFE_TPU_LAYOUT_NARROW_HW", "400000")),
             }
+            # region-level layout planning (graph/layout.py): narrow-channel
+            # regions execute as planes end-to-end, wide convs stay NHWC on
+            # the XLA MXU path.  RIFE_TPU_LAYOUT=nhwc restores the flat
+            # NHWC executor.
+            layout_mode = os.environ.get("RIFE_TPU_LAYOUT", "region")
             if planar_nets and name in planar_nets:
                 from ..graph.executor import PlanarExecutor
                 from ..ops.planar_ops import OP_TABLE_PLANAR
 
                 self.executors[name] = PlanarExecutor(
                     graph, OP_TABLE_PLANAR, net.weights, ctx=ctx
+                )
+            elif layout_mode == "region" and use_pallas:
+                from ..graph.executor import RegionExecutor
+                from ..ops.planar_ops import OP_TABLE_PLANAR
+
+                self.executors[name] = RegionExecutor(
+                    graph, jax_ops.OP_TABLE, OP_TABLE_PLANAR, net.weights,
+                    ctx=ctx,
                 )
             else:
                 self.executors[name] = Executor(

@@ -46,6 +46,11 @@ class Executor:
         instead of baking it into the program as constants)."""
         ctx = {**self.ctx, **ctx} if ctx else self.ctx
         blobs: Dict[str, Any] = dict(inputs)
+        rec = ctx.get("_record_shapes")  # layout planner's abstract pass
+        if rec is not None:
+            for k, v in blobs.items():
+                if hasattr(v, "shape"):
+                    rec[k] = tuple(v.shape)
         needed = self.graph.required_nodes(outputs, list(inputs.keys()))
         for idx in needed:
             node = self.graph.nodes[idx]
@@ -69,7 +74,128 @@ class Executor:
             for top, val in zip(node.tops, outs):
                 if top not in blobs:  # pinned blobs always win
                     blobs[top] = val
+                    if rec is not None and hasattr(val, "shape"):
+                        rec[top] = tuple(val.shape)
         return [blobs[b] for b in outputs]
+
+
+class RegionExecutor(Executor):
+    """Executor with region-level layout planning (graph/layout.py).
+
+    Each node is assigned 'nhwc' (XLA's conv-friendly layout) or 'nchw'
+    (planes: W on lanes, no channel lane-padding) by a planning pass over
+    recorded blob shapes; chains of narrow-channel ops then execute as
+    planes end-to-end with layout conversions only at region boundaries.
+    This is what makes the planar kernels win: round-2 measured both
+    whole-net planar and per-op escape NET-NEGATIVE because every op/net
+    boundary re-materialized the lane-padded NHWC buffers the kernels avoid
+    (BASELINE.md "Planar integration: measured and rejected as default").
+
+    Blobs are stored in their producing node's layout; a per-blob converted
+    copy is cached so a blob consumed by both layouts transposes once.
+    Callers keep the NHWC convention at the boundary unless
+    ``ctx['planar_outputs']`` (a set of blob names) asks for planes.
+    """
+
+    planar_capable = True  # callers may request planar outputs
+
+    def __init__(self, graph, op_table, planar_table, raw_weights, ctx=None):
+        super().__init__(graph, op_table, raw_weights, ctx)
+        self.planar_table = planar_table
+        self._shape_cache: Dict = {}
+
+    def _blob_shapes(self, inputs, outputs, ctx):
+        import jax
+
+        key = (
+            tuple(sorted(
+                (k, tuple(v.shape), str(getattr(v, "dtype", "")))
+                for k, v in inputs.items() if hasattr(v, "shape")
+            )),
+            tuple(outputs),
+        )
+        cached = self._shape_cache.get(key)
+        if cached is not None:
+            return cached
+        rec: Dict[str, tuple] = {}
+        ctx2 = {**ctx, "_record_shapes": rec}
+        abstract = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+            if hasattr(v, "shape") else v
+            for k, v in inputs.items()
+        }
+        jax.eval_shape(
+            lambda ins: Executor.run(self, ins, outputs, ctx2), abstract
+        )
+        self._shape_cache[key] = rec
+        return rec
+
+    def run(self, inputs, outputs, ctx=None):
+        from . import layout as L
+
+        ctx = {**self.ctx, **ctx} if ctx else dict(self.ctx)
+        shapes = self._blob_shapes(inputs, outputs, ctx)
+        needed = self.graph.required_nodes(outputs, list(inputs.keys()))
+        planar_out = ctx.get("planar_outputs") or ()
+        plan = L.plan_layouts(
+            self.graph, needed, shapes, ctx, outputs,
+            {b: L.NCHW for b in planar_out},
+        )
+
+        blobs: Dict[str, Any] = dict(inputs)
+        cur: Dict[str, str] = {k: L.NHWC for k in inputs}
+        alt: Dict[str, Any] = {}  # converted copies, one per blob max
+
+        def get(b, want):
+            if cur[b] == want:
+                return blobs[b]
+            hit = alt.get(b)
+            if hit is None:
+                v = blobs[b]
+                if getattr(v, "ndim", 0) == 4:
+                    v = v.transpose(0, 3, 1, 2) if want == L.NCHW \
+                        else v.transpose(0, 2, 3, 1)
+                alt[b] = v
+                hit = v
+            return hit
+
+        for idx in needed:
+            node = self.graph.nodes[idx]
+            if node.type == "Input":
+                if node.tops[0] not in blobs:
+                    raise KeyError(f"graph input {node.tops[0]!r} not provided")
+                continue
+            if all(t in blobs for t in node.tops):
+                continue
+            if node.type == "Split":
+                # layout-transparent: copy in whatever layout the source is
+                # stored — consumers convert lazily (and XLA CSE dedupes
+                # identical transposes of the same value)
+                src = node.bottoms[0]
+                for top in node.tops:
+                    if top not in blobs:
+                        blobs[top] = blobs[src]
+                        cur[top] = cur[src]
+                continue
+            lay = plan[idx]
+            table = self.planar_table if lay == L.NCHW else self.op_table
+            fn = table.get(node.type)
+            if fn is None:
+                raise NotImplementedError(f"layer type {node.type!r}")
+            ins = [get(b, lay) for b in node.bottoms]
+            outs = fn(node, ins, self.raw_weights.get(node.name), ctx)
+            if len(outs) != len(node.tops):
+                raise RuntimeError(
+                    f"{node.type} {node.name}: produced {len(outs)} outputs, "
+                    f"graph expects {len(node.tops)}"
+                )
+            for top, val in zip(node.tops, outs):
+                if top not in blobs:
+                    blobs[top] = val
+                    cur[top] = lay
+        return [
+            get(b, L.NCHW if b in planar_out else L.NHWC) for b in outputs
+        ]
 
 
 class PlanarExecutor(Executor):

@@ -66,6 +66,31 @@ def _planar_deconv_ok(cin, cout, k, stride, pad) -> bool:
     return cout <= 24 or (cout <= 32 and cin <= 48)
 
 
+def conv_wants_planar(node, h, w, cin, cout, ctx) -> bool:
+    """Single source of truth for 'this conv should run on the planar Pallas
+    kernel' — used both by the layout planner (graph/layout.py) and by the
+    planar op table below, so a planner 'nchw' conv never silently falls
+    back to the transpose-wrapped XLA path (the round-2 escape-mode trap)."""
+    act, _ = C.activation_of(node)
+    if act not in _ACT_MAP:
+        return False
+    _, k, dilation, stride, pad, _ = C.conv_hyperparams(node)
+    big = ctx.get("planar_all") or h * w >= int(
+        ctx.get("planar_min_hw", 400_000))
+    return bool(big) and _planar_conv_ok(cin, cout, h, w, stride, k,
+                                         dilation, pad)
+
+
+def deconv_wants_planar(node, h, w, cin, cout, ctx) -> bool:
+    act, _ = C.activation_of(node)
+    if act not in _ACT_MAP:
+        return False
+    _, k, _, stride, pad, _ = C.conv_hyperparams(node)
+    big = ctx.get("planar_all") or h * w >= int(
+        ctx.get("planar_deconv_min_hw", 25_000))
+    return bool(big) and _planar_deconv_ok(cin, cout, k, stride, pad)
+
+
 def _to_nhwc(x):
     return x.transpose(0, 2, 3, 1)
 
@@ -81,12 +106,9 @@ def _op_convolution(node, inputs, w, ctx):
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
     cin, cout = hw.shape[2], hw.shape[3]
-    big = ctx.get("planar_all") or x.shape[2] * x.shape[3] >= 400_000
     if (ctx.get("use_pallas_warp")
-            and act in _ACT_MAP
-            and big
-            and _planar_conv_ok(cin, cout, x.shape[2], x.shape[3],
-                                stride, k, dilation, pad)):
+            and conv_wants_planar(node, x.shape[2], x.shape[3], cin, cout,
+                                  ctx)):
         alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
         return [conv_planar(x, hw, bias, stride=stride, pad=pad,
                             act=_ACT_MAP[act], alpha=alpha)]
@@ -102,11 +124,9 @@ def _op_deconvolution(node, inputs, w, ctx):
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
     cin, cout = hw.shape[2], hw.shape[3]
-    big = ctx.get("planar_all") or x.shape[2] * x.shape[3] >= 25_000
     if (ctx.get("use_pallas_warp")
-            and act in _ACT_MAP
-            and big
-            and _planar_deconv_ok(cin, cout, k, stride, pad)):
+            and deconv_wants_planar(node, x.shape[2], x.shape[3], cin, cout,
+                                    ctx)):
         alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
         return [deconv_planar(x, hw, bias, act=_ACT_MAP[act], alpha=alpha)]
     y = J.deconv2d(_to_nhwc(x), hw, bias, stride=stride, pad=pad)
@@ -223,6 +243,67 @@ def _nhwc_warp(fn):
     return op
 
 
+def _warp_u8_eligible(node, image_planar, ctx) -> bool:
+    return (
+        not ctx.get("no_u8_warp")
+        and image_planar.shape[1] <= 4
+        and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+    )
+
+
+def _op_warp_planar(node, inputs, w, ctx):
+    """rife.Warp on planes: (B,C,H,W) x (B,2,H,W) -> (B,C,H,W).  The Pallas
+    kernels pack/emit per-channel planes natively, so planar mode removes
+    both boundary transposes (reference op: /root/reference/src/warp.comp)."""
+    import os
+
+    image, flow = inputs[0], inputs[1]
+    if ctx.get("use_pallas_warp"):
+        from .warp_pallas import fits_vmem, warp_pallas
+
+        u8 = _warp_u8_eligible(node, image, ctx)
+        if u8 or fits_vmem(image.shape[2], image.shape[3]):
+            variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            return [warp_pallas(image, flow, u8_origin=u8,
+                                u8_variant=variant, planar=True)]
+    return [_to_nchw(J.warp(_to_nhwc(image), _to_nhwc(flow)))]
+
+
+def _op_warp_ds4_planar(node, inputs, w, ctx):
+    """rife.WarpDs4 on planes (fused warp + exact 1/4 downscale; see
+    jax_ops._op_warp_ds4 for the tap-grid derivation)."""
+    import jax.numpy as _jnp
+    from jax import lax
+
+    image, flow = inputs[0], inputs[1]
+    h, wid = image.shape[2], image.shape[3]
+    if h % 4 or wid % 4:  # padded canvases are 32-aligned; belt-and-braces
+        y = _op_warp_planar(node, inputs, w, ctx)[0]
+        return [resize2d_nchw(y, int(round(h * 0.25)), int(round(wid * 0.25)))]
+    flow_c = J._compact_taps4(J._compact_taps4(flow, 2), 3)
+    ho, wo = h // 2, wid // 2
+    iy = lax.broadcasted_iota(_jnp.int32, (ho, wo), 0)
+    ix = lax.broadcasted_iota(_jnp.int32, (ho, wo), 1)
+    gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(_jnp.float32)
+    gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(_jnp.float32)
+    sx = gx[None] + flow_c[:, 0].astype(_jnp.float32)
+    sy = gy[None] + flow_c[:, 1].astype(_jnp.float32)
+
+    if ctx.get("use_pallas_warp"):
+        from .warp_pallas import fits_vmem, warp_pallas
+
+        u8 = _warp_u8_eligible(node, image, ctx)
+        if u8 or fits_vmem(h, wid):
+            pos = _jnp.stack([sx, sy], axis=1)  # (B,2,Ho,Wo)
+            y = warp_pallas(image, pos, u8_origin=u8, abs_pos=True,
+                            planar=True)
+        else:
+            y = _to_nchw(J.warp_at(_to_nhwc(image), sy, sx))
+    else:
+        y = _to_nchw(J.warp_at(_to_nhwc(image), sy, sx))
+    return [J._downsample_axis(J._downsample_axis(y, 2, 2), 2, 3)]
+
+
 OP_TABLE_PLANAR = {
     "Convolution": _op_convolution,
     "Deconvolution": _op_deconvolution,
@@ -241,6 +322,6 @@ OP_TABLE_PLANAR = {
     "UnaryOp": J._op_unaryop,
     "Eltwise": J._op_eltwise,
     "PixelShuffle": _op_pixelshuffle,
-    "rife.Warp": _nhwc_warp(J._op_warp),
-    "rife.WarpDs4": _nhwc_warp(J._op_warp_ds4),
+    "rife.Warp": _op_warp_planar,
+    "rife.WarpDs4": _op_warp_ds4_planar,
 }

@@ -133,26 +133,39 @@ def _warp_kernel(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
         o_ref[0, :, sl] = acc.astype(o_ref.dtype)
 
 
-def _warp_pallas_impl(image, flow, *, abs_pos: bool = False):
-    b, h, w, c = image.shape
+def _flow_xy(flow, planar: bool):
+    """(flow_x, flow_y) planes of a (B,H,W,2) NHWC or (B,2,H,W) planar
+    flow — the planar form slices planes instead of lane-strided channels."""
+    if planar:
+        return flow[:, 0].astype(jnp.float32), flow[:, 1].astype(jnp.float32)
+    return flow[..., 0].astype(jnp.float32), flow[..., 1].astype(jnp.float32)
+
+
+def _warp_pallas_impl(image, flow, *, abs_pos: bool = False,
+                      planar: bool = False):
+    if planar:
+        b, c, h, w = image.shape
+    else:
+        b, h, w, c = image.shape
     out_dtype = image.dtype
     hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
     if abs_pos:  # flow = absolute (sx, sy) on a decoupled output grid
-        ho, wo = flow.shape[1], flow.shape[2]
+        ho, wo = (flow.shape[2], flow.shape[3]) if planar else (
+            flow.shape[1], flow.shape[2])
     else:
         ho, wo = h, w
     hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
     nt_w = wp_o // LANE
 
     # exact shader index/fraction algebra (cheap XLA elementwise)
+    fx, fy = _flow_xy(flow, planar)
     if abs_pos:
-        sx = flow[..., 0].astype(jnp.float32)
-        sy = flow[..., 1].astype(jnp.float32)
+        sx, sy = fx, fy
     else:
         gy = lax.broadcasted_iota(jnp.float32, (ho, wo), 0)
         gx = lax.broadcasted_iota(jnp.float32, (ho, wo), 1)
-        sx = gx[None] + flow[..., 0].astype(jnp.float32)
-        sy = gy[None] + flow[..., 1].astype(jnp.float32)
+        sx = gx[None] + fx
+        sy = gy[None] + fy
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     # For out-of-range samples both corners clamp to the same pixel, so the
@@ -167,11 +180,14 @@ def _warp_pallas_impl(image, flow, *, abs_pos: bool = False):
             constant_values=val,
         )
 
-    img = pad2(
-        jnp.transpose(image.astype(jnp.float32), (0, 3, 1, 2)).reshape(
-            b * c, h, w
+    if planar:  # already planes: staging needs no transpose at all
+        img = pad2(image.astype(jnp.float32).reshape(b * c, h, w))
+    else:
+        img = pad2(
+            jnp.transpose(image.astype(jnp.float32), (0, 3, 1, 2)).reshape(
+                b * c, h, w
+            )
         )
-    )
     # EDGE-pad the index/weight operands: zero-padding poisons the padded
     # columns' y0/x0 with 0, dragging every window's dynamic band/tile range
     # down to the frame origin — at widths that aren't lane multiples (e.g.
@@ -207,8 +223,8 @@ def _warp_pallas_impl(image, flow, *, abs_pos: bool = False):
         ],
     )(img, *operands)
 
-    out = out[:, :ho, :wo].reshape(b, c, ho, wo).transpose(0, 2, 3, 1)
-    return out
+    out = out[:, :ho, :wo].reshape(b, c, ho, wo)
+    return out if planar else out.transpose(0, 2, 3, 1)
 
 
 def _warp_kernel_packed(img_hbm, y0_ref, x0_ref, a_ref,
@@ -292,30 +308,36 @@ def _warp_kernel_packed(img_hbm, y0_ref, x0_ref, a_ref,
         o1_ref[0, :, sl] = acc1
 
 
-def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False):
+def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
+                             planar: bool = False):
     """bf16 path: channels packed in pairs into i32 gather words."""
-    b, h, w, c = image.shape
+    if planar:
+        b, c, h, w = image.shape
+    else:
+        b, h, w, c = image.shape
     hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
     if abs_pos:  # flow = absolute (sx, sy) on a decoupled output grid
-        ho, wo = flow.shape[1], flow.shape[2]
+        ho, wo = (flow.shape[2], flow.shape[3]) if planar else (
+            flow.shape[1], flow.shape[2])
     else:
         ho, wo = h, w
     hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
     nt_w = wp_o // LANE
     c2 = (c + 1) // 2
     if c % 2:
+        zpad = (image[:, :1] if planar else image[..., :1])
         image = jnp.concatenate(
-            [image, jnp.zeros_like(image[..., :1])], axis=-1
+            [image, jnp.zeros_like(zpad)], axis=1 if planar else -1
         )
 
+    fx, fy = _flow_xy(flow, planar)
     if abs_pos:
-        sx = flow[..., 0].astype(jnp.float32)
-        sy = flow[..., 1].astype(jnp.float32)
+        sx, sy = fx, fy
     else:
         gy = lax.broadcasted_iota(jnp.float32, (ho, wo), 0)
         gx = lax.broadcasted_iota(jnp.float32, (ho, wo), 1)
-        sx = gx[None] + flow[..., 0].astype(jnp.float32)
-        sy = gy[None] + flow[..., 1].astype(jnp.float32)
+        sx = gx[None] + fx
+        sy = gy[None] + fy
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
@@ -331,8 +353,9 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False):
     # identical to bitcasting bf16[2]; avoids the feature-minor lane-padded
     # intermediate the vector bitcast forces); planes (B*C2, Hp, Wp)
     def _chan_u16(ci):
+        plane = image[:, ci] if planar else image[..., ci]
         pl16 = lax.bitcast_convert_type(
-            image[..., ci].astype(jnp.bfloat16), jnp.uint16
+            plane.astype(jnp.bfloat16), jnp.uint16
         )
         return pl16.astype(jnp.int32)
 
@@ -383,6 +406,11 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False):
         ],
     )(words, *operands)
 
+    if planar:
+        # planes out: (B, 2*C2, Ho, Wo) with channel pairs interleaved
+        out = jnp.stack([out0, out1], axis=1)  # (B*C2, 2, Hpo, Wpo)
+        out = out[:, :, :ho, :wo].reshape(b, c2 * 2, ho, wo)
+        return out[:, :c].astype(image.dtype)
     out = jnp.stack([out0, out1], axis=-1)  # (B*C2, Hpo, Wpo, 2)
     out = out[:, :ho, :wo, :].reshape(b, c2, ho, wo, 2)
     out = out.transpose(0, 2, 3, 1, 4).reshape(b, ho, wo, 2 * c2)
@@ -895,7 +923,8 @@ def _warp_kernel_u8_sdelta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
                              delta_mode: bool = False,
                              sdelta_mode: bool = False,
-                             abs_pos: bool = False):
+                             abs_pos: bool = False,
+                             planar: bool = False):
     """Shared host-side driver for the u8-quad variants.
 
     ``abs_pos=True``: ``flow`` carries ABSOLUTE sample positions (sx, sy)
@@ -903,13 +932,22 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     the source grid) — used by the fused downscaled-warp rewrite
     (graph/rewrite.py) to evaluate only the Interp tap pixels.  Requires a
     streaming variant (slab/sdelta); band/delta assume out grid == source
-    grid for their whole-image staging."""
-    b, h, w, c = image.shape
+    grid for their whole-image staging.
+
+    ``planar=True``: image is (B,C,H,W) planes and flow (B,2,Ho,Wo); the
+    result comes back as planes.  The kernels already work plane-wise, so
+    this removes every layout transpose at the op boundary (region-planar
+    execution, graph/layout.py)."""
+    if planar:
+        b, c, h, w = image.shape
+    else:
+        b, h, w, c = image.shape
     out_dtype = image.dtype
     hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
     if abs_pos:
         assert slab_mode and not sdelta_mode
-        ho, wo = flow.shape[1], flow.shape[2]
+        ho, wo = (flow.shape[2], flow.shape[3]) if planar else (
+            flow.shape[1], flow.shape[2])
     else:
         ho, wo = h, w
     hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
@@ -920,22 +958,23 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     # intermediate that XLA lane-pads 32x (6.4 GB at B=24); channel-plane
     # slices + shifts keep everything W-minor
     def _chan_u8(i):
+        plane = image[:, i] if planar else image[..., i]
         return jnp.round(
-            jnp.clip(image[..., i].astype(jnp.float32), 0.0, 1.0) * 255.0
+            jnp.clip(plane.astype(jnp.float32), 0.0, 1.0) * 255.0
         ).astype(jnp.int32)
 
     words = _chan_u8(0)
     for ci in range(1, c):
         words = words | (_chan_u8(ci) << (8 * ci))  # (B,H,W)
 
+    fx, fy = _flow_xy(flow, planar)
     if abs_pos:
-        sx = flow[..., 0].astype(jnp.float32)
-        sy = flow[..., 1].astype(jnp.float32)
+        sx, sy = fx, fy
     else:
         gy = lax.broadcasted_iota(jnp.float32, (ho, wo), 0)
         gx = lax.broadcasted_iota(jnp.float32, (ho, wo), 1)
-        sx = gx[None] + flow[..., 0].astype(jnp.float32)
-        sy = gy[None] + flow[..., 1].astype(jnp.float32)
+        sx = gx[None] + fx
+        sy = gy[None] + fy
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
@@ -1019,6 +1058,8 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 3,
             scratch_shapes=scratch,
         )(words, *operands, *ranges)
+        if planar:
+            return jnp.stack(outs, axis=1)[:, :c, :ho, :wo]
         return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     elif slab_mode:
         kernel = functools.partial(
@@ -1059,6 +1100,8 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         scratch_shapes=scratch,
     )(words, *operands)
 
+    if planar:
+        return jnp.stack(outs, axis=1)[:, :c, :ho, :wo]
     out = jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     return out
 
@@ -1068,11 +1111,17 @@ def fits_vmem(h: int, w: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("u8_origin", "u8_variant", "abs_pos")
+    jax.jit, static_argnames=("u8_origin", "u8_variant", "abs_pos", "planar")
 )
 def warp_pallas(image, flow, u8_origin: bool = False,
-                u8_variant: str = "auto", abs_pos: bool = False):
+                u8_variant: str = "auto", abs_pos: bool = False,
+                planar: bool = False):
     """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
+
+    ``planar=True``: image/flow/output are NCHW planes — (B,C,H,W) x
+    (B,2,Ho,Wo) -> (B,C,Ho,Wo).  Bit-identical math; the kernels operate
+    plane-wise either way, so planar mode only changes the (cheap) host-side
+    slicing/stacking and removes all layout transposes at the boundary.
 
     ``u8_origin=True`` asserts the image values are u8/255 (the input
     frames and their Split copies) — those take the lossless u8-quad kernels
@@ -1097,15 +1146,17 @@ def warp_pallas(image, flow, u8_origin: bool = False,
     streaming variant (staging decoupled from the output grid); bf16/f32
     take the VMEM-resident kernels, whose source staging is already
     independent of the output windows."""
+    n_chan = image.shape[1] if planar else image.shape[-1]
     if abs_pos:
-        if u8_origin and image.shape[-1] <= 4:
+        if u8_origin and n_chan <= 4:
             return _warp_pallas_u8_impl_any(
-                image, flow, slab_mode=True, abs_pos=True
+                image, flow, slab_mode=True, abs_pos=True, planar=planar
             )
         if image.dtype == jnp.bfloat16:
-            return _warp_pallas_packed_impl(image, flow, abs_pos=True)
-        return _warp_pallas_impl(image, flow, abs_pos=True)
-    if u8_origin and image.shape[-1] <= 4:
+            return _warp_pallas_packed_impl(image, flow, abs_pos=True,
+                                            planar=planar)
+        return _warp_pallas_impl(image, flow, abs_pos=True, planar=planar)
+    if u8_origin and n_chan <= 4:
         variant = u8_variant
         if variant == "auto":
             # slab wins in-graph at the smooth flows real RIFE weights
@@ -1122,7 +1173,8 @@ def warp_pallas(image, flow, u8_origin: bool = False,
             slab_mode=variant == "slab",
             delta_mode=variant == "delta",
             sdelta_mode=variant == "sdelta",
+            planar=planar,
         )
     if image.dtype == jnp.bfloat16:
-        return _warp_pallas_packed_impl(image, flow)
-    return _warp_pallas_impl(image, flow)
+        return _warp_pallas_packed_impl(image, flow, planar=planar)
+    return _warp_pallas_impl(image, flow, planar=planar)
