@@ -229,7 +229,7 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
         planar = getattr(ex, "planar_capable", False)
         out = _v4_out(ex, cfg, W, img0, img1, t, {}, planar_out=planar)
         if planar:
-            return frame.postprocess_nchw(out, h, w)
+            return frame.postprocess_planar(out, h, w)
         return frame.postprocess(out, h, w)
 
     if not cfg.tta_mode:

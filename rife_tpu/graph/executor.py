@@ -153,8 +153,9 @@ class RegionExecutor(Executor):
             if hit is None:
                 v = blobs[b]
                 if getattr(v, "ndim", 0) == 4:
-                    v = v.transpose(0, 3, 1, 2) if want == L.NCHW \
-                        else v.transpose(0, 2, 3, 1)
+                    # NHWC (B,H,W,C) <-> planar BHCW (B,H,C,W): swap the
+                    # last two dims (both directions are the same permute)
+                    v = v.transpose(0, 1, 3, 2)
                 alt[b] = v
                 hit = v
             return hit
@@ -199,24 +200,25 @@ class RegionExecutor(Executor):
 
 
 class PlanarExecutor(Executor):
-    """Executor whose blobs are carried as (B, C, H, W) planes internally.
+    """Executor whose blobs are carried as (B, H, C, W) planes internally.
 
     Callers keep the NHWC convention at the boundary: 4D inputs are
-    transposed to planes on entry and extracted blobs back to NHWC on
+    transposed to BHCW on entry and extracted blobs back to NHWC on
     exit.  The op table must be ``planar_ops.OP_TABLE_PLANAR``.  Why: on
     TPU, XLA lane-pads feature-minor narrow-channel tensors to 128 — the
     planar table keeps W on lanes and routes narrow convs to the Pallas
-    planar kernel (see ops/planar_ops.py).
+    planar kernel, whose native layout is BHCW (see ops/planar_ops.py,
+    ops/conv_planar.py).
     """
 
     def run(self, inputs, outputs, ctx=None):
         pin = {
-            k: (v.transpose(0, 3, 1, 2) if getattr(v, "ndim", 0) == 4
+            k: (v.transpose(0, 1, 3, 2) if getattr(v, "ndim", 0) == 4
                 else v)
             for k, v in inputs.items()
         }
         outs = super().run(pin, outputs, ctx)
         return [
-            o.transpose(0, 2, 3, 1) if getattr(o, "ndim", 0) == 4 else o
+            o.transpose(0, 1, 3, 2) if getattr(o, "ndim", 0) == 4 else o
             for o in outs
         ]

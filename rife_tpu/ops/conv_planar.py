@@ -1,32 +1,30 @@
-"""Planar (NCHW) Pallas conv kernel for narrow-channel layers.
+"""Planar (BHCW) Pallas conv kernels for narrow-channel layers.
 
 Why: XLA:TPU stores conv operands feature-minor and lane-pads C to 128.
 For the zoo's narrow layers that is catastrophic HBM bloat — measured on
-v5e at B=24 bf16 (tools/conv_chain.py, tools/nchw_exp.py):
+v5e at B=24 bf16 (tools/conv_chain.py, tools/planar_inprog.py):
 
   * 3x3 s2 12->32 @1088x1920 (v4 IFBlock encoder,
     /root/reference/models/rife-v4.6/flownet.param:166 convrelu_6):
-    35.8 ms/conv — the 12ch input alone is stored 10.7x padded (12.8 GB).
-  * 3x3 C=32 @540x960: 26 ms/conv (8.7 TF/s); C=24: 17 ms.  NCHW dimension
-    numbers do NOT help (35.1 ms) — XLA relayouts to the same padded form.
+    44.1 ms/conv in-program — the 12ch input alone is stored 10.7x padded.
+  * the same conv on this kernel: 10.1 ms from its native layout, and any
+    HBM relayout to reach a different layout costs 8-38 ms — which is why
+    the region executor CARRIES activations as (B, H, C, W): each row is a
+    contiguous (C, W) channel slab, directly consumable by the MXU dot,
+    and the stride-2 H-phase split is a FREE reshape.
 
-This kernel keeps activations as planes (B, C, H, W) — W on lanes, ZERO
-padding waste at any C — and runs the conv as an MXU GEMM oriented
-out-channels x pixels:
+Two kernels:
 
-    out[co, x] = sum_k  Wmat[co, k] * A[k, x]      k = (tap, cin)
-
-Per grid cell (batch b, TH=8 output rows): DMA the input band
-(Cin, TH+kh-1, Wp) into VMEM; for each output row build the im2col
-A-matrix (K', Wo_pad) from kh*kw shifted row-slices (K' = taps *
-round_up(Cin, 8), sublane-aligned per tap); one dot (Cout, K') @ (K',
-Wo_pad) with f32 accumulation; add bias, apply the fused activation, and
-write the (Cout, Wo_pad) row plane.
-
-Stride 2 is handled outside the kernel: ``planar_s2d`` splits x into 2x2
-phase planes ((B, 4*Cin, H/2, W/2), exact relayout) and the 3x3 s2 kernel
-is remapped to an equivalent 2x2 s1 kernel over the phase planes
-(``_remap_s2_weights``) — the kernel itself is stride-1 only.
+* ``conv_planar_bhcw`` — stride 1: per grid cell (batch b, TH=8 output
+  rows) DMA the (TH+kh-1, Cin, Wp) input band; per output row accumulate
+  kh*kw MXU dots ``W[t] (Cout, Cin) @ band[r+ky, :, kx:kx+Wo]`` with f32
+  accumulation, fused bias + activation, write the (Cout, Wo) row slab.
+* ``conv_s2_bhcw`` — stride 2 (3x3 pad 1): input is the free H-phase
+  reshape (B, H/2, 2*Cin, W) with W still INTERLEAVED.  Every tap kx,
+  sliced at ds(kx), lands output column x' at rhs column 2x'+1, so the 6
+  (H-phase, kx) dots run on a double-width rhs (negligible at these sizes)
+  and one odd-column extraction per small output row replaces any
+  deinterleave of the wider input (Mosaic cannot lane-stride-slice).
 
 Zero padding (conv pad p) is baked into the host-side plane padding, so
 edge semantics match ``jax_ops.conv2d`` exactly; outputs are cropped.
@@ -38,6 +36,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,9 +53,20 @@ def _round_up(v: int, m: int) -> int:
 ACT_NONE, ACT_RELU, ACT_LEAKY, ACT_PRELU = 0, 1, 2, 3
 
 
+def _apply_act(acc, act, alpha, s_ref):
+    if act == ACT_RELU:
+        return jnp.maximum(acc, 0.0)
+    if act == ACT_LEAKY:
+        return jnp.where(acc >= 0, acc, acc * alpha)
+    if act == ACT_PRELU:
+        return jnp.where(acc >= 0, acc, acc * s_ref[:])
+    return acc
+
+
 def _conv_planar_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, sem, *,
                         cin: int, cout: int, kh: int, kw: int,
-                        wo_pad: int, act: int, alpha: float):
+                        wo_pad: int, act: int, alpha: float,
+                        precision):
     # x_hbm is (B, hp, Cin, Wp) — rows major of channels, so each tap
     # operand band[row] is a contiguous (Cin, Wp) slab with channels on
     # sublanes, directly consumable by the MXU dot (no im2col transpose).
@@ -76,21 +87,16 @@ def _conv_planar_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, sem, *,
                 w_ref[t], band[r + ky, :, pl.ds(kx, wo_pad)],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             )
             acc = d if acc is None else acc + d
-        acc = acc + b_ref[:]
-        if act == ACT_RELU:
-            acc = jnp.maximum(acc, 0.0)
-        elif act == ACT_LEAKY:
-            acc = jnp.where(acc >= 0, acc, acc * alpha)
-        elif act == ACT_PRELU:
-            acc = jnp.where(acc >= 0, acc, acc * s_ref[:])
+        acc = _apply_act(acc + b_ref[:], act, alpha, s_ref)
         o_ref[0, 0, r] = acc.astype(o_ref.dtype)
 
 
 def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
                      alpha=0.2, slope=None):
-    """Raw kernel entry: BHCW in, BHCW out (both padded).
+    """Raw stride-1 kernel entry: BHCW in, BHCW out (both padded).
 
     ``xp`` is (B, hp, Cin, Wp) — conv zero-padding already baked in (data
     at rows/cols [pad, ...), hp >= round_up(out_h, TH) + kh - 1, Wp >=
@@ -105,10 +111,15 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
     if slope is None:
         slope = jnp.zeros((cout, 1), jnp.float32)
 
+    # f32 activations ask for true-f32 MXU passes (the TPU default for a
+    # plain dot is a single bf16 pass: ~1e-2 absolute error on flow-scale
+    # values); bf16 runs native
+    precision = (lax.Precision.HIGHEST if xp.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
     out = pl.pallas_call(
         functools.partial(
             _conv_planar_kernel, cin=cin, cout=cout, kh=kh, kw=kw,
-            wo_pad=wo_pad, act=act, alpha=alpha,
+            wo_pad=wo_pad, act=act, alpha=alpha, precision=precision,
         ),
         grid=(b, n_h),
         in_specs=[
@@ -136,27 +147,86 @@ def conv_planar_bhcw(xp, wmat, bias, *, kh, kw, out_h, act=ACT_NONE,
     return out.reshape(b, n_h * TH, cout, wo_pad)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kh", "kw", "pad", "act", "alpha", "out_h", "out_w"),
-)
-def _conv_planar_s1(x, wmat, bias, *, kh, kw, pad, act, alpha,
-                    out_h, out_w, slope=None):
-    """x (B, Cin, H, W) -> (B, Cout, out_h, out_w); stride 1."""
-    b, cin, h, w = x.shape
-    wo_pad = _round_up(out_w, LANE)
-    wp = wo_pad + LANE
-    hp = _round_up(out_h, TH) + kh - 1
-    # bake conv zero-padding into the plane: data at rows/cols [pad, ...);
-    # channels zero-padded to the 8-sublane tile (DMA slice alignment);
-    # then go BHCW so each row is a contiguous (Cin, Wp) channel slab
-    xp = jnp.pad(
-        x, ((0, 0), (0, _round_up(cin, TH) - cin),
-            (pad, hp - h - pad), (pad, wp - w - pad))
-    ).transpose(0, 2, 1, 3)
-    out = conv_planar_bhcw(xp, wmat, bias, kh=kh, kw=kw, out_h=out_h,
-                           act=act, alpha=alpha, slope=slope)
-    return out[:, :out_h, :, :out_w].transpose(0, 2, 1, 3)
+def _conv_s2_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, sem, *,
+                    c2: int, cout: int, wo_pad: int, act: int, alpha: float,
+                    precision):
+    """Stride-2 via H phases on channels + interleaved-W GEMM (see module
+    docstring): taps align at output column 2x'+1, extracted per row."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[i, pl.ds(j * TH, TH + 1)], band, sem)
+    cp.start()
+    cp.wait()
+
+    w2 = 2 * wo_pad
+    jj = lax.broadcasted_iota(jnp.int32, (cout, LANE), 1)
+    idx_a = jnp.minimum(2 * jj + 1, LANE - 1)
+    idx_b = jnp.maximum(2 * jj + 1 - LANE, 0)
+    sel_a = (2 * jj + 1) < LANE
+
+    for r in range(TH):
+        acc = None
+        for t in range(6):  # (H-phase a, kx) taps
+            a, kx = divmod(t, 3)
+            d = lax.dot_general(
+                w_ref[t], band[r + a, :, pl.ds(kx, w2)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = d if acc is None else acc + d
+        acc = _apply_act(acc + b_ref[:], act, alpha, s_ref)
+        # odd columns of acc (cout, 2*wo_pad) -> (cout, wo_pad)
+        for ot in range(wo_pad // LANE):
+            src_a = acc[:, 2 * ot * LANE : (2 * ot + 1) * LANE]
+            src_b = acc[:, (2 * ot + 1) * LANE : (2 * ot + 2) * LANE]
+            ga = jnp.take_along_axis(src_a, idx_a, axis=1)
+            gb = jnp.take_along_axis(src_b, idx_b, axis=1)
+            o_ref[0, 0, r, :, pl.ds(ot * LANE, LANE)] = jnp.where(
+                sel_a, ga, gb
+            ).astype(o_ref.dtype)
+
+
+def conv_s2_bhcw(xs, wmat, bias, out_h, *, act=ACT_NONE, alpha=0.2,
+                 slope=None):
+    """Raw stride-2 kernel entry.
+
+    ``xs`` (B, hp2, C2p, Wpf): the free H-phase reshape of a BHCW tensor
+    padded so rows/cols sit at [2, ...) (the first split row / even-odd
+    column pair are the phase-plane pad slots).  ``wmat`` (6, Cout, C2p)
+    from :func:`pack_s2_weights`.  Returns (B, n_h*TH, Cout, wo_pad).
+    """
+    b, hp2, c2, wpf = xs.shape
+    cout = wmat.shape[1]
+    wo_pad = (wpf - LANE) // 2
+    n_h = _round_up(out_h, TH) // TH
+    if slope is None:
+        slope = jnp.zeros((cout, 1), jnp.float32)
+    precision = (lax.Precision.HIGHEST if xs.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    out = pl.pallas_call(
+        functools.partial(_conv_s2_kernel, c2=c2, cout=cout, wo_pad=wo_pad,
+                          act=act, alpha=alpha, precision=precision),
+        grid=(b, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((6, cout, c2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TH, cout, wo_pad),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_h, TH, cout, wo_pad), xs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 1, c2, wpf), xs.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xs, wmat, bias, slope)
+    return out.reshape(b, n_h * TH, cout, wo_pad)
 
 
 def pack_weights(w_hwio, cin, dtype=jnp.bfloat16):
@@ -172,60 +242,97 @@ def pack_weights(w_hwio, cin, dtype=jnp.bfloat16):
     return wm
 
 
-def planar_s2d(x):
-    """(B, C, H, W) -> (B, C*4, H/2, W/2), phase order (c, py, px)."""
-    b, c, h, w = x.shape
-    x = x.reshape(b, c, h // 2, 2, w // 2, 2)
-    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, c * 4, h // 2, w // 2)
+def pack_s2_weights(w_hwio, dtype=jnp.bfloat16):
+    """3x3 s2 p1 kernel -> (6, Cout, round_up(2*Cin, 8)): taps (H-phase a,
+    kx), channels [py][c] matching the free H-phase reshape.
 
-
-def _remap_s2_weights(w_hwio):
-    """3x3 stride-2 pad-1 kernel -> equivalent 2x2 stride-1 kernel over
-    ``planar_s2d`` phase planes (channel order (c, py, px)).
-
-    orig input row for output y' and tap ky is 2y'+ky-1 = 2*(y'+sy)+py with
-    py=(ky-1)%2, sy=(ky-1-py)//2; new tap a=sy+1 in {0,1}.  Same for cols.
-    """
+    Derivation: out row y' tap ky reads input row 2y'+ky-1; with the input
+    padded to rows [2, ...) and H-split, that is split-row y'+a, phase
+    block py, where py=(ky-1)%2 and a=(ky-1-py)//2+1."""
     kh, kw, ci, co = w_hwio.shape
     assert kh == 3 and kw == 3
-    wn = jnp.zeros((2, 2, ci * 4, co), w_hwio.dtype)
-    for ky in range(3):
-        r = ky - 1
-        py = r % 2
-        a = (r - py) // 2 + 1
+    c2p = _round_up(2 * ci, TH)
+    zero = jnp.zeros((co, ci), w_hwio.dtype)
+    taps = []
+    for a in range(2):
         for kx in range(3):
-            c_ = kx - 1
-            px = c_ % 2
-            bb = (c_ - px) // 2 + 1
-            wn = wn.at[a, bb, py * 2 + px :: 4, :].set(w_hwio[ky, kx])
-    return wn
+            # [py][c] channel blocks; ky contributes to H-tap a=(ky-1-py)//2+1
+            blocks = [zero, zero]
+            for ky in range(3):
+                py = (ky - 1) % 2
+                if (ky - 1 - py) // 2 + 1 == a:
+                    blocks[py] = blocks[py] + w_hwio[ky, kx].T
+            taps.append(jnp.concatenate(blocks, axis=1))
+    wm = jnp.stack(taps)  # (6, co, 2*ci)
+    if 2 * ci < c2p:
+        wm = jnp.pad(wm, ((0, 0), (0, 0), (0, c2p - 2 * ci)))
+    return wm.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kh", "kw", "pad", "act", "alpha", "out_h", "out_w"),
+)
+def _conv_planar_s1(x, wmat, bias, *, kh, kw, pad, act, alpha,
+                    out_h, out_w, slope=None):
+    """x (B, H, Cin, W) BHCW -> (B, out_h, Cout, out_w); stride 1."""
+    b, h, cin, w = x.shape
+    wo_pad = _round_up(out_w, LANE)
+    wp = wo_pad + LANE
+    hp = _round_up(out_h, TH) + kh - 1
+    # bake conv zero-padding into the plane: data at rows/cols [pad, ...);
+    # channels zero-padded to the 8-sublane tile (DMA slice alignment)
+    xp = jnp.pad(
+        x, ((0, 0), (pad, hp - h - pad), (0, _round_up(cin, TH) - cin),
+            (pad, wp - w - pad))
+    )
+    out = conv_planar_bhcw(xp, wmat, bias, kh=kh, kw=kw, out_h=out_h,
+                           act=act, alpha=alpha, slope=slope)
+    return out[:, :out_h, :, :out_w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "alpha", "out_h", "out_w")
+)
+def _conv_planar_s2(x, wmat, bias, *, act, alpha, out_h, out_w, slope=None):
+    """x (B, H, Cin, W) BHCW -> (B, out_h, Cout, out_w); 3x3 stride 2."""
+    b, h, cin, w = x.shape
+    wo_pad = _round_up(out_w, LANE)
+    wpf = 2 * wo_pad + LANE
+    hp2 = _round_up(out_h, TH) + 1
+    c2p = _round_up(2 * cin, TH)
+    # rows/cols at [2, ...): after the free H reshape the first split row /
+    # even-odd column pair are the phase-plane pad slots
+    xp = jnp.pad(x, ((0, 0), (2, 2 * hp2 - h - 2), (0, 0),
+                     (2, wpf - w - 2)))
+    xs = xp.reshape(b, hp2, 2 * cin, wpf)
+    if 2 * cin < c2p:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, c2p - 2 * cin), (0, 0)))
+    out = conv_s2_bhcw(xs, wmat, bias, out_h, act=act, alpha=alpha,
+                       slope=slope)
+    return out[:, :out_h, :, :out_w]
 
 
 def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
                 act=ACT_NONE, alpha=0.2, slope=None):
-    """NCHW conv via the planar Pallas kernel.
+    """BHCW conv via the planar Pallas kernels.
 
-    x (B, Cin, H, W); w (kh, kw, Cin, Cout) as in jax_ops.conv2d; stride
+    x (B, H, Cin, W); w (kh, kw, Cin, Cout) as in jax_ops.conv2d; stride
     1 or 2 (stride 2 requires kh=kw=3, pad=1 — the zoo's only s2 shape).
     ``slope`` (Cout,) enables fused per-channel PReLU when act=ACT_PRELU.
-    Returns (B, Cout, Hout, Wout).
+    Returns (B, Hout, Cout, Wout).
     """
-    b, cin, h, w = x.shape
+    b, h, cin, w = x.shape
     kh, kw, _, cout = w_hwio.shape
     bb = (jnp.zeros((cout, 1), jnp.float32) if bias is None
           else bias.reshape(cout, 1).astype(jnp.float32))
     sl = None if slope is None else slope.reshape(cout, 1).astype(jnp.float32)
     wdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if stride == 2:
-        # 3x3 s2 p1 == 2x2 s1 p1 over 2x2 phase planes, cropped to H/2 x W/2
-        # (the 2x2 phase kernel reads plane rows/cols {i-1, i})
         assert (kh, kw, pad) == (3, 3, 1) and h % 2 == 0 and w % 2 == 0
-        xs = planar_s2d(x)
-        wm = pack_weights(_remap_s2_weights(w_hwio), cin * 4, wdt)
-        return _conv_planar_s1(
-            xs, wm, bb, kh=2, kw=2, pad=1, act=act, alpha=alpha,
-            out_h=h // 2, out_w=w // 2, slope=sl,
-        )
+        wm = pack_s2_weights(w_hwio, wdt)
+        return _conv_planar_s2(x, wm, bb, act=act, alpha=alpha,
+                               out_h=h // 2, out_w=w // 2, slope=sl)
     assert stride == 1
     out_h = h + 2 * pad - (kh - 1)
     out_w = w + 2 * pad - (kw - 1)
@@ -260,23 +367,30 @@ def _deconv_phase_weights(wf):
 
 def deconv_planar(x, w_hwio_flipped, bias=None, *, act=ACT_NONE,
                   alpha=0.2, slope=None):
-    """NCHW ConvTranspose 4x4 s2 p1 via one planar conv producing the four
+    """BHCW ConvTranspose 4x4 s2 p1 via one planar conv producing the four
     output phases, then a phase interleave.  Matches ``jax_ops.deconv2d``
-    (same spatially-flipped HWIO weight layout)."""
-    b, cin, h, w = x.shape
+    (same spatially-flipped HWIO weight layout).
+
+    The H interleave is a FREE reshape of the [py][px][c] phase channels;
+    only the W interleave moves lanes.
+    """
+    b, h, cin, w = x.shape
     co = w_hwio_flipped.shape[-1]
     w3 = _deconv_phase_weights(w_hwio_flipped)
     bb = None if bias is None else jnp.tile(bias.reshape(co), 4)
     sl = None if slope is None else jnp.tile(slope.reshape(co), 4)
     y4 = conv_planar(x, w3, bb, stride=1, pad=1, act=act, alpha=alpha,
                      slope=sl)
-    y = y4.reshape(b, 2, 2, co, h, w).transpose(0, 3, 4, 1, 5, 2)
-    return y.reshape(b, co, 2 * h, 2 * w)
+    # (B, H, {py,px,c}, W): H interleave = free reshape
+    y = y4.reshape(b, 2 * h, 2 * co, w)
+    # W interleave: (B, 2H, {px,c}, W) -> (B, 2H, c, 2W)
+    y = y.reshape(b, 2 * h, 2, co, w).transpose(0, 1, 3, 4, 2)
+    return y.reshape(b, 2 * h, co, 2 * w)
 
 
 def conv_planar_ref(x, w_hwio, bias=None, *, stride=1, pad=1,
                     act=ACT_NONE, alpha=0.2):
-    """XLA reference with identical semantics (NCHW in/out)."""
+    """XLA reference with identical semantics (NCHW in/out, for tests)."""
     from jax import lax
 
     y = lax.conv_general_dilated(

@@ -44,14 +44,14 @@ def postprocess(x, out_h: int, out_w: int):
     return jnp.clip(jnp.floor(v), 0.0, 255.0).astype(jnp.uint8)
 
 
-def postprocess_nchw(x, out_h: int, out_w: int):
-    """``postprocess`` on (B,C,H,W) planes -> (B,H,W,C) u8.  The denorm/
+def postprocess_planar(x, out_h: int, out_w: int):
+    """``postprocess`` on (B,H,C,W) planes -> (B,H,W,C) u8.  The denorm/
     round/saturate runs on planes (no lane padding) and the single layout
     conversion happens on the u8 result — half the bf16 transpose traffic,
     and the only NHWC materialization left on the planar render path."""
-    v = x[:, :, :out_h, :out_w].astype(jnp.float32) * 255.0 + 0.5
+    v = x[:, :out_h, :, :out_w].astype(jnp.float32) * 255.0 + 0.5
     u = jnp.clip(jnp.floor(v), 0.0, 255.0).astype(jnp.uint8)
-    return u.transpose(0, 2, 3, 1)
+    return u.transpose(0, 1, 3, 2)
 
 
 def timestep_plane(t, b: int, pad_h: int, pad_w: int, dtype=jnp.float32):

@@ -388,10 +388,10 @@ def _op_convolution(node, inputs, w: LayerWeights, ctx):
 
             alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
             y = conv_planar(
-                x.transpose(0, 3, 1, 2), hwio, bias, stride=stride,
+                x.transpose(0, 1, 3, 2), hwio, bias, stride=stride,
                 pad=pad, act=P._ACT_MAP[act], alpha=alpha,
             )
-            return [y.transpose(0, 2, 3, 1)]
+            return [y.transpose(0, 1, 3, 2)]
     y = conv2d(x, hwio, bias, stride=stride, pad=pad, dilation=dilation)
     return [apply_activation(y, act, params)]
 
@@ -413,10 +413,10 @@ def _op_deconvolution(node, inputs, w, ctx):
 
             alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
             y = deconv_planar(
-                x.transpose(0, 3, 1, 2), hwio, bias,
+                x.transpose(0, 1, 3, 2), hwio, bias,
                 act=P._ACT_MAP[act], alpha=alpha,
             )
-            return [y.transpose(0, 2, 3, 1)]
+            return [y.transpose(0, 1, 3, 2)]
     y = deconv2d(x, hwio, bias, stride=stride, pad=pad)
     return [apply_activation(y, act, params)]
 
@@ -547,6 +547,14 @@ def _compact_taps4(x, axis):
     return st.reshape(shape)
 
 
+def _warp_debug(node, path, image, ctx, **kw):
+    """Trace-time visibility into warp routing (RIFE_TPU_WARP_DEBUG=1):
+    which kernel each graph warp takes is the dominant perf variable."""
+    if os.environ.get("RIFE_TPU_WARP_DEBUG", "0") != "0":
+        print(f"[warp] {node.name}: {path} img={tuple(image.shape)} "
+              f"{image.dtype} {kw}", flush=True)
+
+
 def _op_warp_ds4(node, inputs, w, ctx):
     """Fused ``Interp(1/4, bilinear) ∘ rife.Warp`` (graph/rewrite.py R2).
 
@@ -586,11 +594,15 @@ def _op_warp_ds4(node, inputs, w, ctx):
         # kernels stage the whole SOURCE plane in VMEM (output grid is
         # decoupled, so the residency bound is the source resolution)
         if u8 or fits_vmem(h, wid):
+            _warp_debug(node, "pallas_ds4", image, ctx, u8=u8, abs_pos=True,
+                        out=(ho, wo))
             pos = jnp.stack([sx, sy], axis=-1)
             y = warp_pallas(image, pos, u8_origin=u8, abs_pos=True)
         else:
+            _warp_debug(node, "xla_ds4", image, ctx)
             y = warp_at(image, sy, sx)
     else:
+        _warp_debug(node, "xla_ds4", image, ctx)
         y = warp_at(image, sy, sx)
     return [_downsample_axis(_downsample_axis(y, 2, 1), 2, 2)]
 
@@ -609,8 +621,10 @@ def _op_warp(node, inputs, w, ctx):
         # the whole plane resident in VMEM
         if u8 or fits_vmem(image.shape[1], image.shape[2]):
             variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            _warp_debug(node, "pallas", image, ctx, u8=u8, variant=variant)
             return [warp_pallas(image, flow, u8_origin=u8,
                                 u8_variant=variant)]
+    _warp_debug(node, "xla", image, ctx)
     return [warp(image, flow)]
 
 

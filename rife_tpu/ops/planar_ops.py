@@ -1,23 +1,29 @@
-"""NCHW ("planar") op table — the narrow-channel execution mode.
+"""Planar op table — the narrow-channel execution mode, carried as BHCW.
 
 XLA:TPU lane-pads feature-minor layouts to 128 channels; for the zoo's
 narrow layers (3-48 channels at up to full 1088x1920 resolution) that is
-10-40x HBM bloat and the dominant cost of the v1/v2 families (see
-BASELINE.md "Conv/layout floor analysis").  In this mode a net's blobs
-are carried as (B, C, H, W) planes — W on lanes, no padding waste — and:
+10-40x HBM bloat and the dominant cost of the measured step (BASELINE.md
+"Conv/layout floor analysis").  In planar mode a net's blobs are carried as
+``(B, H, C, W)`` — W on lanes, channels on sublanes, ZERO padding waste —
+and:
 
-* narrow convs run on the planar Pallas kernel (ops/conv_planar.py);
-* narrow 4x4 s2 deconvs run as one planar conv producing all four output
-  phases (exact, ``deconv_planar``);
-* wide convs/deconvs transpose to NHWC, use the XLA conv (which is at MXU
-  peak for C >= 64 at moderate resolution), and transpose back — XLA
-  cancels adjacent transpose pairs between consecutive wide layers;
-* everything else (PReLU, resize, concat/slice/crop, warp, pixelshuffle,
-  pooling, elementwise) is implemented natively on planes.
+* narrow convs run on the planar Pallas GEMM kernel (ops/conv_planar.py),
+  whose native input layout IS BHCW (each row is a contiguous (C, W)
+  channel slab, directly consumable by the MXU dot).  Crucially, the
+  stride-2 H-phase split is a FREE reshape of BHCW ((B,H,C,W) ->
+  (B,H/2,2C,W)) — any other planar layout pays an expensive HBM relayout
+  per conv (measured 12-38 ms per call at B=24 1080p, tools/planar_fmt.py);
+* the Pallas warp kernels emit/consume BHCW at zero extra cost (they
+  operate plane-wise internally either way);
+* wide convs/deconvs convert to NHWC, use the XLA MXU conv, and convert
+  back (region planning keeps them OUT of planar regions instead);
+* everything else (PReLU, resize, concat/slice/crop, pixelshuffle,
+  pooling, elementwise) is implemented natively on BHCW.
 
-``engine.session`` wraps whole nets in this table via ``PlanarExecutor``
-(NHWC at the boundary, planes inside).  Reference semantics are identical
-to ``jax_ops``; parity is pinned by tests/test_planar_ops.py.
+``graph.executor.RegionExecutor`` mixes this table with the NHWC one under
+the layout plan (graph/layout.py); ``PlanarExecutor`` wraps whole nets.
+Reference semantics are identical to ``jax_ops``; parity is pinned by
+tests/test_planar_ops.py and tests/test_layout.py.
 """
 
 from __future__ import annotations
@@ -38,11 +44,13 @@ from .conv_planar import (
 _ACT_MAP = {C.ACT_NONE: ACT_NONE, C.ACT_RELU: ACT_RELU,
             C.ACT_LEAKY: ACT_LEAKY}
 
+CH_AXIS = 2  # BHCW: channels on sublanes
+
 
 def _ax(axis: int, rank: int) -> int:
-    """ncnn CHW-space axis -> NCHW tensor axis."""
+    """ncnn CHW-space axis -> BHCW tensor axis."""
     if rank == 4:
-        return {0: 1, 1: 2, 2: 3}[axis]
+        return {0: 2, 1: 1, 2: 3}[axis]
     if rank == 2:
         if axis != 0:
             raise ValueError(f"axis {axis} invalid for rank-2 blob")
@@ -52,7 +60,8 @@ def _ax(axis: int, rank: int) -> int:
 
 def _planar_conv_ok(cin, cout, h, w, stride, k, dilation, pad) -> bool:
     """Use the Pallas planar conv only where it measured faster than XLA
-    (tools/planar_chain.py): narrow channels (size gate is the caller's)."""
+    (tools/planar_inprog.py / proto_s2_kernel.py): narrow channels (the
+    size gate is the caller's)."""
     if dilation != 1 or k != 3 or pad != 1 or stride not in (1, 2):
         return False
     if stride == 2 and (h % 2 or w % 2):
@@ -91,12 +100,12 @@ def deconv_wants_planar(node, h, w, cin, cout, ctx) -> bool:
     return bool(big) and _planar_deconv_ok(cin, cout, k, stride, pad)
 
 
-def _to_nhwc(x):
-    return x.transpose(0, 2, 3, 1)
+def _to_nhwc(x):  # BHCW -> NHWC: swap the last two dims
+    return x.transpose(0, 1, 3, 2)
 
 
-def _to_nchw(x):
-    return x.transpose(0, 3, 1, 2)
+def _to_bhcw(x):  # NHWC -> BHCW
+    return x.transpose(0, 1, 3, 2)
 
 
 def _op_convolution(node, inputs, w, ctx):
@@ -106,15 +115,15 @@ def _op_convolution(node, inputs, w, ctx):
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
     cin, cout = hw.shape[2], hw.shape[3]
+    h, wid = x.shape[1], x.shape[3]
     if (ctx.get("use_pallas_warp")
-            and conv_wants_planar(node, x.shape[2], x.shape[3], cin, cout,
-                                  ctx)):
+            and conv_wants_planar(node, h, wid, cin, cout, ctx)):
         alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
         return [conv_planar(x, hw, bias, stride=stride, pad=pad,
                             act=_ACT_MAP[act], alpha=alpha)]
     y = J.conv2d(_to_nhwc(x), hw, bias, stride=stride, pad=pad,
                  dilation=dilation)
-    return [_to_nchw(J.apply_activation(y, act, params))]
+    return [_to_bhcw(J.apply_activation(y, act, params))]
 
 
 def _op_deconvolution(node, inputs, w, ctx):
@@ -124,32 +133,33 @@ def _op_deconvolution(node, inputs, w, ctx):
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
     cin, cout = hw.shape[2], hw.shape[3]
+    h, wid = x.shape[1], x.shape[3]
     if (ctx.get("use_pallas_warp")
-            and deconv_wants_planar(node, x.shape[2], x.shape[3], cin, cout,
-                                    ctx)):
+            and deconv_wants_planar(node, h, wid, cin, cout, ctx)):
         alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
         return [deconv_planar(x, hw, bias, act=_ACT_MAP[act], alpha=alpha)]
     y = J.deconv2d(_to_nhwc(x), hw, bias, stride=stride, pad=pad)
-    return [_to_nchw(J.apply_activation(y, act, params))]
+    return [_to_bhcw(J.apply_activation(y, act, params))]
 
 
 def _op_prelu(node, inputs, w, ctx):
     x = inputs[0]
     slope = ctx["w"][node.name]["slope"].astype(x.dtype)
-    slope = slope.reshape((1, -1) + (1,) * (x.ndim - 2))
+    if x.ndim == 4:
+        slope = slope.reshape(1, 1, -1, 1)
     return [jnp.where(x >= 0, x, x * slope)]
 
 
-def resize2d_nchw(x, out_h, out_w, method="bilinear"):
-    """Half-pixel resize on planes — exact same phase-decomposed path as
-    jax_ops.resize2d, on axes (2, 3)."""
-    b, c, h, w = x.shape
+def resize2d_bhcw(x, out_h, out_w, method="bilinear"):
+    """Half-pixel resize on BHCW — exact same phase-decomposed path as
+    jax_ops.resize2d, on axes (1, 3)."""
+    b, h, c, w = x.shape
     if (out_h, out_w) == (h, w):
         return x
     if method == "bilinear":
         y = x
         ok = True
-        for axis, (src, dst) in ((2, (h, out_h)), (3, (w, out_w))):
+        for axis, (src, dst) in ((1, (h, out_h)), (3, (w, out_w))):
             if dst == src:
                 continue
             if dst % src == 0:
@@ -162,15 +172,15 @@ def resize2d_nchw(x, out_h, out_w, method="bilinear"):
         if ok:
             return y
     mth = "linear" if method == "bilinear" else method
-    return jax.image.resize(x, (b, c, out_h, out_w), method=mth,
+    return jax.image.resize(x, (b, out_h, c, out_w), method=mth,
                             antialias=False)
 
 
 def _op_interp(node, inputs, w, ctx):
     x = inputs[0]
-    rtype, oh, ow = C.interp_out_size(x.shape[2], x.shape[3], node)
+    rtype, oh, ow = C.interp_out_size(x.shape[1], x.shape[3], node)
     method = {1: "nearest", 2: "bilinear"}[rtype]
-    return [resize2d_nchw(x, oh, ow, method)]
+    return [resize2d_bhcw(x, oh, ow, method)]
 
 
 def _op_concat(node, inputs, w, ctx):
@@ -207,17 +217,20 @@ def _op_slice(node, inputs, w, ctx):
 def _op_pooling(node, inputs, w, ctx):
     if int(node.p(4, 0)) != 1 or int(node.p(0, 0)) != 1:
         raise NotImplementedError("only global average pooling is used")
-    return [jnp.mean(inputs[0], axis=(2, 3))]  # (B,C)
+    return [jnp.mean(inputs[0], axis=(1, 3))]  # (B,C)
 
 
 def _op_pixelshuffle(node, inputs, w, ctx):
+    """BHCW pixelshuffle: (B,H,c*r*r,W) -> (B,H*r,c,W*r); the H interleave
+    (channel index i) is a cheap sublane move, the W interleave (j) a lane
+    interleave — identical work to the NCHW form."""
     r = int(node.p(0, 1))
     x = inputs[0]
-    b, crr, h, w_ = x.shape
+    b, h, crr, w_ = x.shape
     c = crr // (r * r)
-    x = x.reshape(b, c, r, r, h, w_)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return [x.reshape(b, c, h * r, w_ * r)]
+    x = x.reshape(b, h, c, r, r, w_)       # (B,H,c,i,j,W)
+    x = x.transpose(0, 1, 3, 2, 5, 4)      # (B,H,i,c,W,j)
+    return [x.reshape(b, h * r, c, w_ * r)]
 
 
 def _op_binaryop(node, inputs, w, ctx):
@@ -226,33 +239,24 @@ def _op_binaryop(node, inputs, w, ctx):
         b = jnp.asarray(float(node.p(2, 0.0)), dtype=inputs[0].dtype)
         return [J.binary_op(op, inputs[0], b)]
     a, b = inputs
-    # ncnn (B,C) vector vs (B,C,H,W) map broadcast (v1 SE scale)
+    # ncnn (B,C) vector vs (B,H,C,W) map broadcast (v1 SE scale)
     if a.ndim == 2 and b.ndim == 4:
-        a = a[:, :, None, None]
+        a = a[:, None, :, None]
     elif a.ndim == 4 and b.ndim == 2:
-        b = b[:, :, None, None]
+        b = b[:, None, :, None]
     return [J.binary_op(op, a, b)]
 
 
-def _nhwc_warp(fn):
-    def op(node, inputs, w, ctx):
-        image, flow = inputs[0], inputs[1]
-        outs = fn(node, [_to_nhwc(image), _to_nhwc(flow)], w, ctx)
-        return [_to_nchw(o) for o in outs]
-
-    return op
-
-
-def _warp_u8_eligible(node, image_planar, ctx) -> bool:
+def _warp_u8_eligible(node, image_bhcw, ctx) -> bool:
     return (
         not ctx.get("no_u8_warp")
-        and image_planar.shape[1] <= 4
+        and image_bhcw.shape[CH_AXIS] <= 4
         and node.bottoms[0] in ctx.get("u8_image_blobs", ())
     )
 
 
 def _op_warp_planar(node, inputs, w, ctx):
-    """rife.Warp on planes: (B,C,H,W) x (B,2,H,W) -> (B,C,H,W).  The Pallas
+    """rife.Warp on BHCW: (B,H,C,W) x (B,H,2,W) -> (B,H,C,W).  The Pallas
     kernels pack/emit per-channel planes natively, so planar mode removes
     both boundary transposes (reference op: /root/reference/src/warp.comp)."""
     import os
@@ -262,46 +266,46 @@ def _op_warp_planar(node, inputs, w, ctx):
         from .warp_pallas import fits_vmem, warp_pallas
 
         u8 = _warp_u8_eligible(node, image, ctx)
-        if u8 or fits_vmem(image.shape[2], image.shape[3]):
+        if u8 or fits_vmem(image.shape[1], image.shape[3]):
             variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
             return [warp_pallas(image, flow, u8_origin=u8,
                                 u8_variant=variant, planar=True)]
-    return [_to_nchw(J.warp(_to_nhwc(image), _to_nhwc(flow)))]
+    return [_to_bhcw(J.warp(_to_nhwc(image), _to_nhwc(flow)))]
 
 
 def _op_warp_ds4_planar(node, inputs, w, ctx):
-    """rife.WarpDs4 on planes (fused warp + exact 1/4 downscale; see
+    """rife.WarpDs4 on BHCW (fused warp + exact 1/4 downscale; see
     jax_ops._op_warp_ds4 for the tap-grid derivation)."""
-    import jax.numpy as _jnp
     from jax import lax
 
     image, flow = inputs[0], inputs[1]
-    h, wid = image.shape[2], image.shape[3]
+    h, wid = image.shape[1], image.shape[3]
     if h % 4 or wid % 4:  # padded canvases are 32-aligned; belt-and-braces
         y = _op_warp_planar(node, inputs, w, ctx)[0]
-        return [resize2d_nchw(y, int(round(h * 0.25)), int(round(wid * 0.25)))]
-    flow_c = J._compact_taps4(J._compact_taps4(flow, 2), 3)
+        return [resize2d_bhcw(y, int(round(h * 0.25)),
+                              int(round(wid * 0.25)))]
+    flow_c = J._compact_taps4(J._compact_taps4(flow, 1), 3)
     ho, wo = h // 2, wid // 2
-    iy = lax.broadcasted_iota(_jnp.int32, (ho, wo), 0)
-    ix = lax.broadcasted_iota(_jnp.int32, (ho, wo), 1)
-    gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(_jnp.float32)
-    gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(_jnp.float32)
-    sx = gx[None] + flow_c[:, 0].astype(_jnp.float32)
-    sy = gy[None] + flow_c[:, 1].astype(_jnp.float32)
+    iy = lax.broadcasted_iota(jnp.int32, (ho, wo), 0)
+    ix = lax.broadcasted_iota(jnp.int32, (ho, wo), 1)
+    gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(jnp.float32)
+    gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(jnp.float32)
+    sx = gx[None] + flow_c[:, :, 0, :].astype(jnp.float32)
+    sy = gy[None] + flow_c[:, :, 1, :].astype(jnp.float32)
 
     if ctx.get("use_pallas_warp"):
         from .warp_pallas import fits_vmem, warp_pallas
 
         u8 = _warp_u8_eligible(node, image, ctx)
         if u8 or fits_vmem(h, wid):
-            pos = _jnp.stack([sx, sy], axis=1)  # (B,2,Ho,Wo)
+            pos = jnp.stack([sx, sy], axis=2)  # (B,Ho,2,Wo)
             y = warp_pallas(image, pos, u8_origin=u8, abs_pos=True,
                             planar=True)
         else:
-            y = _to_nchw(J.warp_at(_to_nhwc(image), sy, sx))
+            y = _to_bhcw(J.warp_at(_to_nhwc(image), sy, sx))
     else:
-        y = _to_nchw(J.warp_at(_to_nhwc(image), sy, sx))
-    return [J._downsample_axis(J._downsample_axis(y, 2, 2), 2, 3)]
+        y = _to_bhcw(J.warp_at(_to_nhwc(image), sy, sx))
+    return [J._downsample_axis(J._downsample_axis(y, 2, 1), 2, 3)]
 
 
 OP_TABLE_PLANAR = {

@@ -134,23 +134,25 @@ def _warp_kernel(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 
 
 def _flow_xy(flow, planar: bool):
-    """(flow_x, flow_y) planes of a (B,H,W,2) NHWC or (B,2,H,W) planar
-    flow — the planar form slices planes instead of lane-strided channels."""
+    """(flow_x, flow_y) planes of a (B,H,W,2) NHWC or (B,H,2,W) planar
+    (BHCW) flow — the planar form slices channel slabs instead of
+    lane-strided channels."""
     if planar:
-        return flow[:, 0].astype(jnp.float32), flow[:, 1].astype(jnp.float32)
+        return (flow[:, :, 0, :].astype(jnp.float32),
+                flow[:, :, 1, :].astype(jnp.float32))
     return flow[..., 0].astype(jnp.float32), flow[..., 1].astype(jnp.float32)
 
 
 def _warp_pallas_impl(image, flow, *, abs_pos: bool = False,
                       planar: bool = False):
     if planar:
-        b, c, h, w = image.shape
+        b, h, c, w = image.shape  # BHCW
     else:
         b, h, w, c = image.shape
     out_dtype = image.dtype
     hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
     if abs_pos:  # flow = absolute (sx, sy) on a decoupled output grid
-        ho, wo = (flow.shape[2], flow.shape[3]) if planar else (
+        ho, wo = (flow.shape[1], flow.shape[3]) if planar else (
             flow.shape[1], flow.shape[2])
     else:
         ho, wo = h, w
@@ -180,8 +182,12 @@ def _warp_pallas_impl(image, flow, *, abs_pos: bool = False,
             constant_values=val,
         )
 
-    if planar:  # already planes: staging needs no transpose at all
-        img = pad2(image.astype(jnp.float32).reshape(b * c, h, w))
+    if planar:  # BHCW -> per-channel planes
+        img = pad2(
+            image.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+                b * c, h, w
+            )
+        )
     else:
         img = pad2(
             jnp.transpose(image.astype(jnp.float32), (0, 3, 1, 2)).reshape(
@@ -224,7 +230,9 @@ def _warp_pallas_impl(image, flow, *, abs_pos: bool = False,
     )(img, *operands)
 
     out = out[:, :ho, :wo].reshape(b, c, ho, wo)
-    return out if planar else out.transpose(0, 2, 3, 1)
+    if planar:
+        return out.transpose(0, 2, 1, 3)  # -> BHCW
+    return out.transpose(0, 2, 3, 1)
 
 
 def _warp_kernel_packed(img_hbm, y0_ref, x0_ref, a_ref,
@@ -312,12 +320,12 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
                              planar: bool = False):
     """bf16 path: channels packed in pairs into i32 gather words."""
     if planar:
-        b, c, h, w = image.shape
+        b, h, c, w = image.shape  # BHCW
     else:
         b, h, w, c = image.shape
     hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
     if abs_pos:  # flow = absolute (sx, sy) on a decoupled output grid
-        ho, wo = (flow.shape[2], flow.shape[3]) if planar else (
+        ho, wo = (flow.shape[1], flow.shape[3]) if planar else (
             flow.shape[1], flow.shape[2])
     else:
         ho, wo = h, w
@@ -325,9 +333,9 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
     nt_w = wp_o // LANE
     c2 = (c + 1) // 2
     if c % 2:
-        zpad = (image[:, :1] if planar else image[..., :1])
+        zpad = (image[:, :, :1, :] if planar else image[..., :1])
         image = jnp.concatenate(
-            [image, jnp.zeros_like(zpad)], axis=1 if planar else -1
+            [image, jnp.zeros_like(zpad)], axis=2 if planar else -1
         )
 
     fx, fy = _flow_xy(flow, planar)
@@ -353,7 +361,7 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
     # identical to bitcasting bf16[2]; avoids the feature-minor lane-padded
     # intermediate the vector bitcast forces); planes (B*C2, Hp, Wp)
     def _chan_u16(ci):
-        plane = image[:, ci] if planar else image[..., ci]
+        plane = image[:, :, ci, :] if planar else image[..., ci]
         pl16 = lax.bitcast_convert_type(
             plane.astype(jnp.bfloat16), jnp.uint16
         )
@@ -407,10 +415,11 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
     )(words, *operands)
 
     if planar:
-        # planes out: (B, 2*C2, Ho, Wo) with channel pairs interleaved
-        out = jnp.stack([out0, out1], axis=1)  # (B*C2, 2, Hpo, Wpo)
-        out = out[:, :, :ho, :wo].reshape(b, c2 * 2, ho, wo)
-        return out[:, :c].astype(image.dtype)
+        # BHCW out: channel pairs (2k, 2k+1) interleave on the C axis
+        o0 = out0[:, :ho, :wo].reshape(b, c2, ho, wo).transpose(0, 2, 1, 3)
+        o1 = out1[:, :ho, :wo].reshape(b, c2, ho, wo).transpose(0, 2, 1, 3)
+        out = jnp.stack([o0, o1], axis=3).reshape(b, ho, 2 * c2, wo)
+        return out[:, :, :c, :].astype(image.dtype)
     out = jnp.stack([out0, out1], axis=-1)  # (B*C2, Hpo, Wpo, 2)
     out = out[:, :ho, :wo, :].reshape(b, c2, ho, wo, 2)
     out = out.transpose(0, 2, 3, 1, 4).reshape(b, ho, wo, 2 * c2)
@@ -939,14 +948,14 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     this removes every layout transpose at the op boundary (region-planar
     execution, graph/layout.py)."""
     if planar:
-        b, c, h, w = image.shape
+        b, h, c, w = image.shape  # BHCW
     else:
         b, h, w, c = image.shape
     out_dtype = image.dtype
     hp, wp = _round_up(h, TH), _round_up(w, LANE)       # source staging
     if abs_pos:
         assert slab_mode and not sdelta_mode
-        ho, wo = (flow.shape[2], flow.shape[3]) if planar else (
+        ho, wo = (flow.shape[1], flow.shape[3]) if planar else (
             flow.shape[1], flow.shape[2])
     else:
         ho, wo = h, w
@@ -958,7 +967,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     # intermediate that XLA lane-pads 32x (6.4 GB at B=24); channel-plane
     # slices + shifts keep everything W-minor
     def _chan_u8(i):
-        plane = image[:, i] if planar else image[..., i]
+        plane = image[:, :, i, :] if planar else image[..., i]
         return jnp.round(
             jnp.clip(plane.astype(jnp.float32), 0.0, 1.0) * 255.0
         ).astype(jnp.int32)
@@ -1059,7 +1068,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             scratch_shapes=scratch,
         )(words, *operands, *ranges)
         if planar:
-            return jnp.stack(outs, axis=1)[:, :c, :ho, :wo]
+            return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
         return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     elif slab_mode:
         kernel = functools.partial(
@@ -1101,7 +1110,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     )(words, *operands)
 
     if planar:
-        return jnp.stack(outs, axis=1)[:, :c, :ho, :wo]
+        return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
     out = jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     return out
 
@@ -1118,10 +1127,11 @@ def warp_pallas(image, flow, u8_origin: bool = False,
                 planar: bool = False):
     """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
 
-    ``planar=True``: image/flow/output are NCHW planes — (B,C,H,W) x
-    (B,2,Ho,Wo) -> (B,C,Ho,Wo).  Bit-identical math; the kernels operate
-    plane-wise either way, so planar mode only changes the (cheap) host-side
-    slicing/stacking and removes all layout transposes at the boundary.
+    ``planar=True``: image/flow/output are BHCW channel-slab planes —
+    (B,H,C,W) x (B,Ho,2,Wo) -> (B,Ho,C,Wo).  Bit-identical math; the
+    kernels operate plane-wise either way, so planar mode only changes the
+    (cheap) host-side slicing/stacking and removes the layout transposes at
+    the boundary (BHCW is also the planar conv kernel's native diet).
 
     ``u8_origin=True`` asserts the image values are u8/255 (the input
     frames and their Split copies) — those take the lossless u8-quad kernels
@@ -1146,7 +1156,7 @@ def warp_pallas(image, flow, u8_origin: bool = False,
     streaming variant (staging decoupled from the output grid); bf16/f32
     take the VMEM-resident kernels, whose source staging is already
     independent of the output windows."""
-    n_chan = image.shape[1] if planar else image.shape[-1]
+    n_chan = image.shape[2] if planar else image.shape[-1]
     if abs_pos:
         if u8_origin and n_chan <= 4:
             return _warp_pallas_u8_impl_any(

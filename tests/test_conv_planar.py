@@ -1,4 +1,8 @@
-"""Planar (NCHW) Pallas conv kernel vs the XLA reference.
+"""Planar (BHCW) Pallas conv kernel vs the XLA reference.
+
+``conv_planar`` takes/returns BHCW (B, H, C, W) — the kernel's native
+layout (each row a contiguous channel slab); the XLA reference stays NCHW,
+so tests transpose at the boundary.
 
 The kernel targets the zoo's narrow-channel layers (C <= 32), where
 XLA:TPU's feature-minor lane-padded layouts cost 10-40x HBM bloat
@@ -37,7 +41,9 @@ def test_conv_planar_matches_xla(cin, cout, h, w, stride, act):
     b = jnp.asarray(RNG.standard_normal((cout,), dtype=np.float32))
     ref = conv_planar_ref(x, k, b, stride=stride, act=act)
     with pltpu.force_tpu_interpret_mode():
-        got = conv_planar(x, k, b, stride=stride, act=act)
+        got = conv_planar(
+            x.transpose(0, 2, 1, 3), k, b, stride=stride, act=act
+        ).transpose(0, 2, 1, 3)
     assert got.shape == ref.shape
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
@@ -51,7 +57,9 @@ def test_conv_planar_no_bias():
         RNG.standard_normal((3, 3, 4, 6), dtype=np.float32) * 0.2)
     ref = conv_planar_ref(x, k, None)
     with pltpu.force_tpu_interpret_mode():
-        got = conv_planar(x, k, None)
+        got = conv_planar(
+            x.transpose(0, 2, 1, 3), k, None
+        ).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=1e-4,
@@ -63,7 +71,12 @@ def test_conv_planar_zero_pad_edges():
     x = jnp.ones((1, 3, 16, 128), jnp.float32)
     k = jnp.ones((3, 3, 3, 2), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(conv_planar(x, k, None), np.float32)
+        got = np.asarray(
+            conv_planar(x.transpose(0, 2, 1, 3), k, None).transpose(
+                0, 2, 1, 3
+            ),
+            np.float32,
+        )
     # interior: 27; edge row/col: 18; corner: 12
     assert got[0, 0, 8, 64] == 27.0
     assert got[0, 0, 0, 64] == 18.0

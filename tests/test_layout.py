@@ -87,10 +87,11 @@ def test_region_planar_outputs_are_planes():
         {"input.1": img, "flow.0": flow}, ["f1"],
         {"planar_outputs": frozenset(("f1",))},
     )
-    assert f1_pl.shape == (2, f1_nhwc.shape[3], f1_nhwc.shape[1],
+    # planar outputs are BHCW (B, H, C, W)
+    assert f1_pl.shape == (2, f1_nhwc.shape[1], f1_nhwc.shape[3],
                            f1_nhwc.shape[2])
     np.testing.assert_allclose(
-        np.asarray(f1_pl.transpose(0, 2, 3, 1)), np.asarray(f1_nhwc),
+        np.asarray(f1_pl.transpose(0, 1, 3, 2)), np.asarray(f1_nhwc),
         rtol=0, atol=1e-5,
     )
 

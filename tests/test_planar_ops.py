@@ -1,4 +1,4 @@
-"""Planar (NCHW) op table parity vs the NHWC table on real graphs.
+"""Planar (BHCW) op table parity vs the NHWC table on real graphs.
 
 The planar mode is the TPU narrow-channel execution path (see
 ops/planar_ops.py); on CPU sessions it is disabled, so parity here is
@@ -64,20 +64,22 @@ def test_deconv_planar_matches_deconv2d():
         x.transpose(0, 2, 3, 1), wf, bias, stride=2, pad=1
     ).transpose(0, 3, 1, 2)
     with pltpu.force_tpu_interpret_mode():
-        got = deconv_planar(x, wf, bias)
+        got = deconv_planar(
+            x.transpose(0, 2, 1, 3), wf, bias
+        ).transpose(0, 2, 1, 3)
     assert got.shape == ref.shape == (2, co, 2 * h, 2 * w)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-5)
 
 
-def test_resize2d_nchw_matches_nhwc():
-    from rife_tpu.ops.planar_ops import resize2d_nchw
+def test_resize2d_bhcw_matches_nhwc():
+    from rife_tpu.ops.planar_ops import resize2d_bhcw
 
-    x = jnp.asarray(RNG.uniform(0, 1, (2, 5, 12, 20)), jnp.float32)
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 12, 5, 20)), jnp.float32)  # BHCW
     for oh, ow in ((24, 40), (6, 10), (48, 80)):
         ref = jax_ops.resize2d(
-            x.transpose(0, 2, 3, 1), oh, ow).transpose(0, 3, 1, 2)
-        got = resize2d_nchw(x, oh, ow)
+            x.transpose(0, 1, 3, 2), oh, ow).transpose(0, 1, 3, 2)
+        got = resize2d_bhcw(x, oh, ow)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=1e-6)
 
@@ -89,8 +91,8 @@ def test_pixelshuffle_planar_matches_nhwc():
         def p(self, k, d=None):
             return 2
 
-    x = jnp.asarray(RNG.uniform(0, 1, (1, 12, 6, 8)), jnp.float32)
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 6, 12, 8)), jnp.float32)  # BHCW
     ref = jax_ops.pixel_shuffle(
-        x.transpose(0, 2, 3, 1), 2).transpose(0, 3, 1, 2)
+        x.transpose(0, 1, 3, 2), 2).transpose(0, 1, 3, 2)
     got = _op_pixelshuffle(N(), [x], None, {})[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
