@@ -108,11 +108,15 @@ class RIFE:
         import os
 
         fuse_ds = os.environ.get("RIFE_TPU_FUSE_DS", "1") != "0"
-        # planar (NCHW) execution for narrow-channel nets: on TPU XLA
+        # planar (BHCW) execution for narrow-channel nets: on TPU XLA
         # lane-pads feature-minor layouts to 128 channels, which dominates
         # those families' cost (BASELINE.md layout analysis).  Env value:
         # "0" off, "1" all non-v4 nets, or a comma list of net names.
-        planar_env = os.environ.get("RIFE_TPU_PLANAR", "0")
+        # Default ON for non-v4 families: the BHCW executors measured
+        # 16.22 vs 15.57 fps on v2.3 1080p B=4 (BASELINE.md round-3);
+        # v4 stays NHWC (its narrow layers run at 1/4 resolution where
+        # lane padding costs less than the boundary transposes).
+        planar_env = os.environ.get("RIFE_TPU_PLANAR", "1")
         if planar_env == "1":
             planar_nets = None if self.model.family == "v4" else set(
                 self.model.nets
@@ -162,9 +166,11 @@ class RIFE:
             }
             # region-level layout planning (graph/layout.py): narrow-channel
             # regions execute as planes end-to-end, wide convs stay NHWC on
-            # the XLA MXU path.  RIFE_TPU_LAYOUT=nhwc restores the flat
-            # NHWC executor.
-            layout_mode = os.environ.get("RIFE_TPU_LAYOUT", "region")
+            # the XLA MXU path.  Default is the flat NHWC executor — the
+            # region pass with no planar anchors measured 45.0 vs 47.8 fps
+            # on the v4.6 headline (BASELINE.md round-3 A/B); set
+            # RIFE_TPU_LAYOUT=region to enable planning.
+            layout_mode = os.environ.get("RIFE_TPU_LAYOUT", "nhwc")
             if planar_nets and name in planar_nets:
                 from ..graph.executor import PlanarExecutor
                 from ..ops.planar_ops import OP_TABLE_PLANAR

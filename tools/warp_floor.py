@@ -49,11 +49,14 @@ def main():
         np.asarray(out[(0,) * out.ndim])
         return (time.perf_counter() - t0) / iters
 
+    import functools
     for var in ["band", "delta", "slab", "sdelta"]:
-        f = jax.jit(lambda v=var: warp_pallas(
-            di, df, u8_origin=True, u8_variant=v))
+        # image/flow as jit ARGUMENTS: closing over them embeds them as
+        # HLO constants, which the remote-compile tunnel rejects (413)
+        f = jax.jit(functools.partial(
+            warp_pallas, u8_origin=True, u8_variant=var))
         try:
-            dt = timeit(f)
+            dt = timeit(lambda f=f: f(di, df))
             print(f"{var:7s}: {dt*1e3:7.2f} ms  "
                   f"({dt*1e3/B:5.3f} ms/frame)", flush=True)
         except Exception as e:  # noqa: BLE001

@@ -12,6 +12,7 @@ Run: python -u tools/warp_inprog.py [B]
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -113,10 +114,13 @@ def main():
         df = jnp.asarray(
             np.broadcast_to(full, (B, pad_h, pad_w, 2)).copy(), jnp.float32)
         for var in ["band", "delta", "slab", "sdelta"]:
-            g = jax.jit(lambda v=var: warp_pallas(
-                di, df, u8_origin=True, u8_variant=v))
+            # NB: image/flow must be jit ARGUMENTS — closing over them
+            # embeds them as HLO constants (hundreds of MB), which this
+            # environment's remote-compile tunnel rejects (HTTP 413)
+            g = jax.jit(functools.partial(
+                warp_pallas, u8_origin=True, u8_variant=var))
             try:
-                dt = timeit(g)
+                dt = timeit(lambda g=g: g(di, df))
                 print(f"  {var:7s}: {dt*1e3:7.2f} ms", flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"  {var:7s}: FAILED {type(e).__name__}: {e}",
