@@ -316,6 +316,105 @@ def _warp_kernel_packed(img_hbm, y0_ref, x0_ref, a_ref,
         o1_ref[0, :, sl] = acc1
 
 
+def _warp_kernel_packed_mc(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                           o0_ref, o1_ref, slab, sem, *,
+                           gs: int, nt_w: int, h_max: int, w_max: int):
+    """Multi-channel pair-packed variant: ONE set of index loads, dynamic
+    ranges, masks and bilinear weights per (stripe, band, window) serves
+    ALL c2 channel words (the flow is channel-independent), instead of the
+    single-pair kernel's one-full-pass-per-pair grid.  v2 contextnet
+    feature warps (C=32 @ 544x960, C=64 @ 272x480) are the motivation:
+    they dominate the v2.3 step (4 calls x 15-16.5 ms of a 247 ms step at
+    B=4, BASELINE.md round-3) and their mask/weight algebra is ~half of
+    each call.  Channel words stream slab-style per source band (single-
+    slot DMA of (gs, 8, Wp) — no VMEM residency ceiling); ``gs``-word
+    GROUPS bound the live accumulator count (2*gs vregs) so Mosaic never
+    spills — wider channel counts split over grid dim 1."""
+    zeros = jnp.zeros((TH, LANE), jnp.float32)
+    g_id = pl.program_id(1)
+
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
+        alpha = a_ref[0, :, sl]
+        beta = b_ref[0, :, sl]
+        w00 = (1.0 - alpha) * (1.0 - beta)
+        w01 = alpha * (1.0 - beta)
+        w10 = (1.0 - alpha) * beta
+        w11 = alpha * beta
+
+        band_lo = jnp.min(y0) // TH
+        band_hi = jnp.max(y1) // TH
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+
+        def unpack(g):
+            v0 = pltpu.bitcast(g << 16, jnp.float32)
+            v1 = pltpu.bitcast(g & jnp.int32(-65536), jnp.float32)
+            return v0, v1
+
+        def band_body(band, accs):
+            cp = pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.program_id(0),
+                    pl.ds(pl.multiple_of(g_id * gs, gs), gs),
+                    pl.ds(pl.multiple_of(band * TH, TH), TH), :,
+                ],
+                slab,
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+            def tile_body(t, accs):
+                lx0 = x0 - t * LANE
+                lx1 = x1 - t * LANE
+                ok0 = (lx0 >= 0) & (lx0 < LANE)
+                ok1 = (lx1 >= 0) & (lx1 < LANE)
+                lx0c = jnp.clip(lx0, 0, LANE - 1)
+                lx1c = jnp.clip(lx1, 0, LANE - 1)
+                zero = jnp.zeros_like(w00)
+                accs = list(accs)
+                for k in range(TH):
+                    r = band * TH + k
+                    m_y0 = (y0 == r)
+                    m_y1 = (y1 == r)
+                    wg0 = (
+                        jnp.where(m_y0 & ok0, w00, zero)
+                        + jnp.where(m_y1 & ok0, w10, zero)
+                    )
+                    wg1 = (
+                        jnp.where(m_y0 & ok1, w01, zero)
+                        + jnp.where(m_y1 & ok1, w11, zero)
+                    )
+                    for cw in range(gs):
+                        tile = jnp.broadcast_to(
+                            slab[cw, k : k + 1, pl.ds(t * LANE, LANE)],
+                            (TH, LANE),
+                        )
+                        g0 = jnp.take_along_axis(tile, lx0c, axis=1)
+                        g1 = jnp.take_along_axis(tile, lx1c, axis=1)
+                        a0, b0 = unpack(g0)
+                        a1, b1 = unpack(g1)
+                        accs[2 * cw] = accs[2 * cw] + a0 * wg0 + a1 * wg1
+                        accs[2 * cw + 1] = (
+                            accs[2 * cw + 1] + b0 * wg0 + b1 * wg1
+                        )
+                return tuple(accs)
+
+            return lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+        accs = lax.fori_loop(
+            band_lo, band_hi + 1, band_body, (zeros,) * (2 * gs)
+        )
+        for cw in range(gs):
+            o0_ref[0, cw, :, sl] = accs[2 * cw]
+            o1_ref[0, cw, :, sl] = accs[2 * cw + 1]
+
+
 def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
                              planar: bool = False):
     """bf16 path: channels packed in pairs into i32 gather words."""
@@ -374,7 +473,6 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
         ],
         axis=1,
     )  # (B, C2, H, W)
-    words = pad2(words.reshape(b * c2, h, w))
     # EDGE-pad the index/weight operands: zero-padding poisons the padded
     # columns' y0/x0 with 0, dragging every window's dynamic band/tile range
     # down to the frame origin — at widths that aren't lane multiples (e.g.
@@ -388,31 +486,72 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
         )
 
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
-
-    grid = (b * c2, hp_o // TH)
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
-    stripe = lambda i, j: (i // c2, j, 0)  # noqa: E731
-    idx_spec = pl.BlockSpec((1, TH, wp_o), stripe, memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec(
-        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-    )
 
-    out0, out1 = pl.pallas_call(
-        functools.partial(
-            _warp_kernel_packed, nt_w=nt_w, h_max=h - 1, w_max=w - 1
-        ),
-        grid=grid,
-        in_specs=[img_spec] + [idx_spec] * 4,
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * c2, hp_o, wp_o), jnp.float32),
-            jax.ShapeDtypeStruct((b * c2, hp_o, wp_o), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(words, *operands)
+    if c2 >= 2:
+        # multi-channel shared-index kernel: one stripe pass serves all
+        # channel words; group size bounds live accumulators (2*gs vregs)
+        gs = c2
+        for cand in (16, 8, 4, 2):
+            if c2 % cand == 0:
+                gs = min(gs, cand) if c2 <= cand else cand
+                break
+        n_g = c2 // gs
+        wordsg = pad2(words.reshape(b * c2, h, w)).reshape(b, c2, hp, wp)
+        grid = (b, n_g, hp_o // TH)
+        idx_spec = pl.BlockSpec(
+            (1, TH, wp_o), lambda i, g, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (1, gs, TH, wp_o), lambda i, g, j: (i, g, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out0, out1 = pl.pallas_call(
+            functools.partial(
+                _warp_kernel_packed_mc, gs=gs, nt_w=nt_w,
+                h_max=h - 1, w_max=w - 1,
+            ),
+            grid=grid,
+            in_specs=[img_spec] + [idx_spec] * 4,
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, c2, hp_o, wp_o), jnp.float32),
+                jax.ShapeDtypeStruct((b, c2, hp_o, wp_o), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((gs, TH, wp), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(wordsg, *operands)
+        out0 = out0.reshape(b * c2, hp_o, wp_o)
+        out1 = out1.reshape(b * c2, hp_o, wp_o)
+    else:
+        words = pad2(words.reshape(b * c2, h, w))
+        grid = (b * c2, hp_o // TH)
+        stripe = lambda i, j: (i // c2, j, 0)  # noqa: E731
+        idx_spec = pl.BlockSpec(
+            (1, TH, wp_o), stripe, memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        out0, out1 = pl.pallas_call(
+            functools.partial(
+                _warp_kernel_packed, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+            ),
+            grid=grid,
+            in_specs=[img_spec] + [idx_spec] * 4,
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * c2, hp_o, wp_o), jnp.float32),
+                jax.ShapeDtypeStruct((b * c2, hp_o, wp_o), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hp, wp), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(words, *operands)
 
     if planar:
         # BHCW out: channel pairs (2k, 2k+1) interleave on the C axis

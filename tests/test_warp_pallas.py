@@ -202,3 +202,21 @@ def test_arithmetic_word_packing_matches_bitcast():
     hi = lax.bitcast_convert_type(vals[..., 1], jnp.uint16).astype(jnp.int32)
     np.testing.assert_array_equal(
         np.asarray(lo | (hi << 16)), np.asarray(ref2))
+
+
+@pytest.mark.parametrize("c", [32, 64, 6])
+def test_warp_pallas_packed_bf16_multichannel(c):
+    """Wide bf16 channel counts take the multi-channel shared-index kernel
+    (one stripe pass serves all channel words; groups split the grid when
+    2*gs accumulators would exceed the register budget).  Exactness vs the
+    f32 oracle on the bf16-rounded inputs, like the pair test."""
+    img = RNG.normal(size=(2, 24, 256, c)).astype(np.float32)
+    flow = (RNG.normal(size=(2, 24, 256, 2)) * 6).astype(np.float32)
+    img_b = jnp.asarray(img).astype(jnp.bfloat16)
+    flow_b = jnp.asarray(flow).astype(jnp.bfloat16)
+    ref = numpy_ref.warp(
+        np.asarray(img_b, np.float32), np.asarray(flow_b, np.float32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(warp_pallas(img_b, flow_b), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2)
