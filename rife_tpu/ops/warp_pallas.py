@@ -488,14 +488,20 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
     operands = [pad2_edge(v) for v in (y0, x0, alpha, beta)]
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    if c2 >= 2:
+    import os
+
+    # group-size sweep (tools/warp_mc_sweep.py, v2 ctx shapes): monotone
+    # improvement up to 16 words (C=32 @544x960: pair 39.1 -> 22.7 ms;
+    # C=64 @272x480: 21.0 -> 9.9 ms); 32 accumulator vregs still fit
+    gs_max = int(os.environ.get("RIFE_TPU_WARP_MC_GS", "16"))
+    gs = 1
+    for cand in (16, 8, 4, 2):
+        if cand <= gs_max and c2 % cand == 0:
+            gs = cand if c2 > cand else c2
+            break
+    if gs >= 2:
         # multi-channel shared-index kernel: one stripe pass serves all
         # channel words; group size bounds live accumulators (2*gs vregs)
-        gs = c2
-        for cand in (16, 8, 4, 2):
-            if c2 % cand == 0:
-                gs = min(gs, cand) if c2 <= cand else cand
-                break
         n_g = c2 // gs
         wordsg = pad2(words.reshape(b * c2, h, w)).reshape(b, c2, hp, wp)
         grid = (b, n_g, hp_o // TH)
