@@ -415,6 +415,103 @@ def _warp_kernel_packed_mc(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
             o1_ref[0, cw, :, sl] = accs[2 * cw + 1]
 
 
+def _warp_kernel_packed_mct(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                            o0_ref, o1_ref, slab, sem, *,
+                            gs: int, nt_w: int, h_max: int, w_max: int):
+    """TALL form of the multi-channel kernel: instead of looping channel
+    words with one (8,128) gather each, every per-iteration op runs once on
+    a (gs*8, 128) array — the gs channel words stacked on sublanes — so the
+    instruction count per (band, tile, row) drops ~gs-fold while the VPU
+    work stays the same.  Wins if Mosaic's per-instruction overhead (issue,
+    loop control around many small vregs ops) dominates; the sweep decides
+    which form ships (tools/warp_mc_sweep.py)."""
+    zeros = jnp.zeros((gs * TH, LANE), jnp.float32)
+    g_id = pl.program_id(1)
+
+    def tall(v):  # (TH, LANE) -> (gs*TH, LANE), repeated per word block
+        return jnp.broadcast_to(v[None], (gs, TH, LANE)).reshape(
+            gs * TH, LANE)
+
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, sl]
+        x0 = x0_ref[0, :, sl]
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
+        alpha = a_ref[0, :, sl]
+        beta = b_ref[0, :, sl]
+        w00 = (1.0 - alpha) * (1.0 - beta)
+        w01 = alpha * (1.0 - beta)
+        w10 = (1.0 - alpha) * beta
+        w11 = alpha * beta
+
+        band_lo = jnp.min(y0) // TH
+        band_hi = jnp.max(y1) // TH
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+
+        def unpack(g):
+            v0 = pltpu.bitcast(g << 16, jnp.float32)
+            v1 = pltpu.bitcast(g & jnp.int32(-65536), jnp.float32)
+            return v0, v1
+
+        def band_body(band, accs):
+            cp = pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.program_id(0),
+                    pl.ds(pl.multiple_of(g_id * gs, gs), gs),
+                    pl.ds(pl.multiple_of(band * TH, TH), TH), :,
+                ],
+                slab,
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+            def tile_body(t, accs):
+                acc0, acc1 = accs
+                lx0 = x0 - t * LANE
+                lx1 = x1 - t * LANE
+                ok0 = (lx0 >= 0) & (lx0 < LANE)
+                ok1 = (lx1 >= 0) & (lx1 < LANE)
+                idx0 = tall(jnp.clip(lx0, 0, LANE - 1))
+                idx1 = tall(jnp.clip(lx1, 0, LANE - 1))
+                zero = jnp.zeros_like(w00)
+                for k in range(TH):
+                    r = band * TH + k
+                    m_y0 = (y0 == r)
+                    m_y1 = (y1 == r)
+                    wg0 = tall(
+                        jnp.where(m_y0 & ok0, w00, zero)
+                        + jnp.where(m_y1 & ok0, w10, zero)
+                    )
+                    wg1 = tall(
+                        jnp.where(m_y0 & ok1, w01, zero)
+                        + jnp.where(m_y1 & ok1, w11, zero)
+                    )
+                    # all gs words' row k, each repeated over the 8 output
+                    # sublanes: (gs, LANE) -> (gs*TH, LANE)
+                    rows = slab[:, k, pl.ds(t * LANE, LANE)]
+                    tile16 = jnp.broadcast_to(
+                        rows[:, None, :], (gs, TH, LANE)
+                    ).reshape(gs * TH, LANE)
+                    g0 = jnp.take_along_axis(tile16, idx0, axis=1)
+                    g1 = jnp.take_along_axis(tile16, idx1, axis=1)
+                    a0, b0 = unpack(g0)
+                    a1, b1 = unpack(g1)
+                    acc0 = acc0 + a0 * wg0 + a1 * wg1
+                    acc1 = acc1 + b0 * wg0 + b1 * wg1
+                return (acc0, acc1)
+
+            return lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+        acc0, acc1 = lax.fori_loop(
+            band_lo, band_hi + 1, band_body, (zeros, zeros)
+        )
+        o0_ref[0, :, :, sl] = acc0.reshape(gs, TH, LANE)
+        o1_ref[0, :, :, sl] = acc1.reshape(gs, TH, LANE)
+
+
 def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
                              planar: bool = False):
     """bf16 path: channels packed in pairs into i32 gather words."""
@@ -513,9 +610,16 @@ def _warp_pallas_packed_impl(image, flow, *, abs_pos: bool = False,
             (1, gs, TH, wp_o), lambda i, g, j: (i, g, j, 0),
             memory_space=pltpu.VMEM,
         )
+        # tall form default: measured faster at both ctx shapes (C=32
+        # @544x960: 22.0 -> 19.5 ms; C=64 @272x480: 9.95 -> 8.63)
+        mc_kernel = (
+            _warp_kernel_packed_mct
+            if os.environ.get("RIFE_TPU_WARP_MC_TALL", "1") != "0"
+            else _warp_kernel_packed_mc
+        )
         out0, out1 = pl.pallas_call(
             functools.partial(
-                _warp_kernel_packed_mc, gs=gs, nt_w=nt_w,
+                mc_kernel, gs=gs, nt_w=nt_w,
                 h_max=h - 1, w_max=w - 1,
             ),
             grid=grid,

@@ -1,6 +1,6 @@
-"""Per-op trace attribution of the v2.3 fused step (default executors).
+"""Per-op trace attribution of a model's fused step (default executors).
 
-Run: python -u tools/profile_v23.py [B] [tta: 0/1]
+Run: python -u tools/profile_v23.py [B] [tta: 0/1] [model] [HxW]
 """
 
 from __future__ import annotations
@@ -27,7 +27,10 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     tta = len(sys.argv) > 2 and sys.argv[2] == "1"
+    model = sys.argv[3] if len(sys.argv) > 3 else "rife-v2.3"
     H, Wd = 1080, 1920
+    if len(sys.argv) > 4:
+        H, Wd = (int(v) for v in sys.argv[4].split("x"))
 
     def load(path):
         with Image.open(path) as im:
@@ -40,7 +43,7 @@ def main():
                          (B, H, Wd, 3)).copy()
     ts = np.full((B,), 0.5, np.float32)
 
-    session = RIFE("rife-v2.3", dtype="bfloat16", tta_mode=tta)
+    session = RIFE(model, dtype="bfloat16", tta_mode=tta)
     out = session.process_batch_device(f0, f1, ts)
     np.asarray(out[0, 0, 0, 0])
 
@@ -69,6 +72,13 @@ def main():
     print(f"total attributed: {total/3000:.1f} ms/step over 3 steps")
     for d, c, n in sorted(rows, reverse=True)[:35]:
         print(f"{d/3000:9.3f} ms  x{c//3:3d}  {n[:90]}", flush=True)
+    import re as _re
+    cat = collections.defaultdict(float)
+    for d, c, n in rows:
+        cat[_re.split(r"[.\d]", n)[0]] += d
+    print("--- by category ---")
+    for k, v in sorted(cat.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{v/3000:9.2f} ms  {k}", flush=True)
 
 
 if __name__ == "__main__":

@@ -42,12 +42,15 @@ def main():
              2.0 * np.cos(2.2 * yy - 1.1 * xx)], -1)[None],
             (4, h, w, 2)).copy()
         df = jnp.asarray(flow, jnp.bfloat16)
-        for gs in ("1", "2", "4", "8", "16"):
+        for gs, tall in (("1", "0"), ("8", "0"), ("16", "0"),
+                         ("8", "1"), ("16", "1")):
             # gs=1 routes to the single-pair kernel (per-pair grid)
             os.environ["RIFE_TPU_WARP_MC_GS"] = gs
+            os.environ["RIFE_TPU_WARP_MC_TALL"] = tall
             g = jax.jit(functools.partial(W._warp_pallas_packed_impl))
             dt = timeit(g, img, df)
-            print(f"C={c} {h}x{w} gs={gs:>4s}: {dt*1e3:7.2f} ms", flush=True)
+            print(f"C={c} {h}x{w} gs={gs:>4s} tall={tall}: "
+                  f"{dt*1e3:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
