@@ -220,3 +220,29 @@ def test_warp_pallas_packed_bf16_multichannel(c):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(warp_pallas(img_b, flow_b), np.float32)
     np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize("u8,c", [(True, 3), (False, 3), (False, 32)])
+def test_warp_pallas_planar_matches_nhwc(u8, c):
+    """planar (BHCW) mode must agree exactly with NHWC mode on transposed
+    operands — it is the layout the planar executors feed the kernels on
+    TPU (u8-quad image warps and the multi-channel ctx feature warps)."""
+    if u8:
+        img = (RNG.integers(0, 256, (2, 24, 256, c)).astype(np.float32)
+               / 255.0)
+    else:
+        img = RNG.normal(size=(2, 24, 256, c)).astype(np.float32)
+    flow = (RNG.normal(size=(2, 24, 256, 2)) * 6).astype(np.float32)
+    img_b = jnp.asarray(img).astype(jnp.bfloat16)
+    flow_b = jnp.asarray(flow).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            warp_pallas(img_b, flow_b, u8_origin=u8), np.float32)
+        got = np.asarray(
+            warp_pallas(
+                img_b.transpose(0, 1, 3, 2), flow_b.transpose(0, 1, 3, 2),
+                u8_origin=u8, planar=True,
+            ),
+            np.float32,
+        ).transpose(0, 1, 3, 2)
+    np.testing.assert_array_equal(got, ref)
