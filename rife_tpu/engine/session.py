@@ -161,6 +161,8 @@ class RIFE:
                     "RIFE_TPU_LAYOUT_CONV", "0") != "0",
                 "layout_planar_deconv": os.environ.get(
                     "RIFE_TPU_LAYOUT_DECONV", "0") != "0",
+                "layout_planar_ps": os.environ.get(
+                    "RIFE_TPU_LAYOUT_PS", "1") != "0",
                 "layout_narrow_min_hw": int(os.environ.get(
                     "RIFE_TPU_LAYOUT_NARROW_HW", "400000")),
             }

@@ -166,8 +166,16 @@ def plan_layouts(
             layout[i] = NCHW if n_p * 2 > len(votes) else NHWC
             continue
         if node.type in _MATERIALIZING and _narrow_big(node, shapes, thresh):
-            layout[i] = NCHW
-            continue
+            # PixelShuffle's planar interleave measured SLOWER than its
+            # lane-padded NHWC form (14.2 vs 8.3 ms on the v4.6 step,
+            # BASELINE.md round-3 region-leak attribution) — overridable
+            # while the planar interleave is unfixed
+            if node.type == "PixelShuffle" and not ctx.get(
+                    "layout_planar_ps", True):
+                pass
+            else:
+                layout[i] = NCHW
+                continue
         votes = consumer_votes(node)
         # constrained producers pull too: converting INTO a chain that a
         # wide conv feeds rips the conv-epilogue fusion (the round-2
