@@ -86,26 +86,98 @@ class Graph:
                     stack.append(b)
         return sorted(needed)
 
-    def value_copies_of(self, seeds: Sequence[str]) -> Set[str]:
-        """Blobs that carry the exact same values as one of ``seeds``.
+    def value_copies_of(
+        self, seeds: Sequence[str], seed_channels: int = 3
+    ) -> Set[str]:
+        """Blobs whose values are exact channel-rearrangements of ``seeds``.
 
-        Transitive closure through ``Split`` layers only (ncnn Split is a
-        pure fan-out copy).  Used to tag u8-exact image blobs so the warp op
-        can take the quad-packed u8 kernel for them.
+        Tracks per-blob channel *segments* ``(seed, nch)`` through the pure
+        data-movement layers — ``Split`` (fan-out copy), channel-axis
+        ``Concat``, and channel-axis ``Crop``/``Slice`` whose cut points land
+        on segment boundaries.  A blob qualifies when every one of its
+        channels comes verbatim from some seed.  This catches the v2/v3
+        flownet pattern ``Crop(Split(Concat(input0, input1)))`` — all six of
+        rife-v2.3's internal image warps read such crops
+        (models/rife-v2.3/flownet.param Slice_29/45/88/104/148/164) — so
+        those warps keep the lossless u8-quad Pallas kernel.
+
+        ``seed_channels`` is the channel count of every seed blob (the
+        engine's seeds are always 3-channel RGB frames); the IR itself
+        carries no shapes, and concat/crop arithmetic needs widths.
         """
-        copies: Set[str] = {s for s in seeds if s in self.producer or s in self.input_blobs}
-        changed = True
-        while changed:
-            changed = False
-            for node in self.nodes:
-                if node.type != "Split":
-                    continue
-                if node.bottoms[0] in copies:
+        present = lambda b: b in self.producer or b in self.input_blobs  # noqa: E731
+        segments: Dict[str, Tuple[Tuple[str, int], ...]] = {
+            s: ((s, seed_channels),) for s in seeds if present(s)
+        }
+
+        def crop_like(segs, start: int, end: int):
+            """Slice a segment tuple at channel [start, end); None unless the
+            cuts align with segment boundaries."""
+            out: List[Tuple[str, int]] = []
+            off = 0
+            for name, nch in segs:
+                if off >= end:
+                    break
+                if off >= start:
+                    if off + nch > end:
+                        return None  # cut mid-segment
+                    out.append((name, nch))
+                elif off + nch > start:
+                    return None  # cut mid-segment
+                off += nch
+            total = sum(n for _, n in out)
+            if total != end - start:
+                return None  # ran past the known channels
+            return tuple(out)
+
+        for node in self.nodes:  # param order is topological
+            if node.type == "Split":
+                src = segments.get(node.bottoms[0])
+                if src is not None:
                     for t in node.tops:
-                        if t not in copies:
-                            copies.add(t)
-                            changed = True
-        return copies
+                        segments[t] = src
+            elif node.type == "Interp" and float(node.p(1, 1.0)) == 1.0 \
+                    and float(node.p(2, 1.0)) == 1.0 and not node.p(3, 0) \
+                    and not node.p(4, 0):
+                # scale-1 resize with no fixed output size: identity
+                # (rife-v3.x flownets gate their image slices behind one)
+                src = segments.get(node.bottoms[0])
+                if src is not None:
+                    segments[node.tops[0]] = src
+            elif node.type == "Concat" and int(node.p(0, 0)) == 0:
+                parts = [segments.get(b) for b in node.bottoms]
+                if all(p is not None for p in parts):
+                    segments[node.tops[0]] = tuple(
+                        s for p in parts for s in p
+                    )
+            elif node.type == "Crop":
+                starts = node.p(-23309, [])
+                ends = node.p(-23310, [])
+                axes = node.p(-23311, [])
+                src = segments.get(node.bottoms[0])
+                if src is not None and list(axes) == [0] and len(starts) == 1:
+                    s = int(starts[0])
+                    e = int(ends[0])
+                    width = sum(n for _, n in src)
+                    e = width if e >= 2147483647 else (e if e >= 0 else width + e)
+                    got = crop_like(src, s, min(e, width))
+                    if got:
+                        segments[node.tops[0]] = got
+            elif node.type == "Slice" and int(node.p(1, 0)) == 0:
+                src = segments.get(node.bottoms[0])
+                if src is not None:
+                    from ..ops.common import slice_sizes
+
+                    width = sum(n for _, n in src)
+                    off = 0
+                    for t, sz in zip(
+                        node.tops, slice_sizes(node, width, len(node.tops))
+                    ):
+                        got = crop_like(src, off, off + int(sz))
+                        if got:
+                            segments[t] = got
+                        off += int(sz)
+        return set(segments)
 
     def layers_of_type(self, type_name: str) -> List[LayerNode]:
         return [n for n in self.nodes if n.type == type_name]

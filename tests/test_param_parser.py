@@ -111,3 +111,59 @@ def test_v23_net_interfaces():
         "img0", "img1", "flow", "3", "4", "5", "6", "7", "8", "9", "10"
     }
     assert "output" in fus.producer
+
+
+def test_value_copies_through_concat_split_crop():
+    """The v2/v3 flownets warp channel-crops of Concat(input0, input1)
+    (models/rife-v2.3/flownet.param Slice_29/45/88/104/148/164) — pure data
+    movement, so the u8-quad warp kernel stays eligible for all of them."""
+    g = parse_param("/root/reference/models/rife-v2.3/flownet.param")
+    u8 = g.value_copies_of(["input0", "input1"])
+    warps = g.layers_of_type("rife.Warp")
+    assert len(warps) == 6
+    assert all(n.bottoms[0] in u8 for n in warps)
+    # flow slices (channels of a conv output) must never be tagged
+    assert all(n.bottoms[1] not in u8 for n in warps)
+
+
+def test_value_copies_through_identity_interp():
+    """rife-v3.1 gates its image slices behind a scale-1.0 Interp (an
+    identity); the closure must see through it."""
+    g = parse_param("/root/reference/models/rife-v3.1/flownet.param")
+    u8 = g.value_copies_of(["input0", "input1"])
+    warps = g.layers_of_type("rife.Warp")
+    assert len(warps) == 4
+    assert all(n.bottoms[0] in u8 for n in warps)
+
+
+def test_value_copies_rejects_real_resizes():
+    """rife-anime downscales the concat 0.5x before slicing — resized
+    values are no longer exact u8 multiples, so nothing may be tagged."""
+    g = parse_param("/root/reference/models/rife-anime/flownet.param")
+    u8 = g.value_copies_of(["input0", "input1"])
+    assert all(n.bottoms[0] not in u8 for n in g.layers_of_type("rife.Warp"))
+
+
+def test_value_copies_rejects_mid_segment_crop():
+    from rife_tpu.graph.ir import Graph, LayerNode
+
+    nodes = [
+        LayerNode("Input", "in0", [], ["a"]),
+        LayerNode("Input", "in1", [], ["b"]),
+        LayerNode("Concat", "cat", ["a", "b"], ["ab"], {0: 0}),
+        # channels [2, 4): crosses the a|b boundary mid-segment
+        LayerNode("Crop", "bad", ["ab"], ["mid"],
+                  {-23309: [2], -23310: [4], -23311: [0]}),
+        # channels [3, 6): exactly b
+        LayerNode("Crop", "good", ["ab"], ["bcopy"],
+                  {-23309: [3], -23310: [2147483647], -23311: [0]}),
+    ]
+    producer = {}
+    for i, n in enumerate(nodes):
+        for s, t in enumerate(n.tops):
+            producer[t] = (i, s)
+    g = Graph(nodes=nodes, producer=producer, input_blobs=["a", "b"])
+    u8 = g.value_copies_of(["a", "b"])
+    assert "ab" in u8  # a concat of seeds is still u8-exact per channel
+    assert "bcopy" in u8
+    assert "mid" not in u8
