@@ -229,6 +229,146 @@ def conv_s2_bhcw(xs, wmat, bias, out_h, *, act=ACT_NONE, alpha=0.2,
     return out.reshape(b, n_h * TH, cout, wo_pad)
 
 
+def _conv_s2_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
+                           sem, *, cin, cout, wo_pad, h_in, w_in, n_h,
+                           act, alpha, precision):
+    """Stride-2 3x3 pad-1 conv straight off the plain BHCW tensor.
+
+    The packed-phase kernel above needs a host-side prolog — ``jnp.pad`` to
+    rows/cols [2, ...) plus the (B,H,C,W)->(B,H/2,2C,W) reshape, which is a
+    real relayout whenever C is not a sublane multiple — measured ~12 ms of
+    the B=24 v4.6 region-mode step (BASELINE.md round-3 region-leak
+    attribution).  Here the H phases are resolved by the DMA/tap addressing
+    instead: output row tile j loads input rows [2jTH-1, 2jTH+2TH+1) and
+    tap (ky, kx) of output row r reads band row 2r+ky; the pad column -1 is
+    one lane-roll of the band (band's width margin is kept zero, so the
+    wrapped column IS the zero pad); taps kx in {1,2} slice at kx-1; all
+    taps land output column x' at rhs column 2x', extracted once per row.
+    Band edges (row -1, rows >= h_in) are zero-filled by the edge branches.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w2 = 2 * wo_pad
+    rows = 2 * TH + 2
+
+    @pl.when((i == 0) & (j == 0))
+    def _zero_margins():
+        # channel rows [cin, cp8) and width cols [w_in, bandw) are never
+        # DMA'd; zero once, they persist across grid cells
+        band[...] = jnp.zeros_like(band[...])
+
+    def dma(src_rows0, src_nrows, dst_row0):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(src_rows0, src_nrows)],
+            band.at[pl.ds(dst_row0, src_nrows), pl.ds(0, cin),
+                    pl.ds(0, w_in)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    if n_h == 1:
+        band[0] = jnp.zeros_like(band[0])
+        for rr in range(1 + h_in, rows):
+            band[rr] = jnp.zeros_like(band[rr])
+        dma(0, h_in, 1)
+    else:
+        first = j == 0
+        last = j == n_h - 1
+        avail = h_in - (2 * (n_h - 1) * TH - 1)  # static rows in last tile
+
+        @pl.when(first)
+        def _top():
+            band[0] = jnp.zeros_like(band[0])
+            dma(0, rows - 1, 1)
+
+        @pl.when(last)
+        def _bottom():
+            for rr in range(avail, rows):
+                band[rr] = jnp.zeros_like(band[rr])
+            dma(2 * (n_h - 1) * TH - 1, avail, 0)
+
+        @pl.when(jnp.logical_not(first | last))
+        def _interior():
+            dma(2 * j * TH - 1, rows, 0)
+
+    rolled[...] = jnp.roll(band[...], 1, axis=2)
+
+    jj = lax.broadcasted_iota(jnp.int32, (cout, LANE), 1)
+    idx_a = jnp.minimum(2 * jj, LANE - 1)
+    idx_b = jnp.maximum(2 * jj - LANE, 0)
+    sel_a = (2 * jj) < LANE
+
+    for r in range(TH):
+        acc = None
+        for t in range(9):
+            ky, kx = divmod(t, 3)
+            src = rolled if kx == 0 else band
+            start = 0 if kx == 0 else kx - 1
+            d = lax.dot_general(
+                w_ref[t], src[2 * r + ky, :, pl.ds(start, w2)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = d if acc is None else acc + d
+        acc = _apply_act(acc + b_ref[:], act, alpha, s_ref)
+        for ot in range(wo_pad // LANE):
+            src_a = acc[:, 2 * ot * LANE : (2 * ot + 1) * LANE]
+            src_b = acc[:, (2 * ot + 1) * LANE : (2 * ot + 2) * LANE]
+            ga = jnp.take_along_axis(src_a, idx_a, axis=1)
+            gb = jnp.take_along_axis(src_b, idx_b, axis=1)
+            o_ref[0, 0, r, :, pl.ds(ot * LANE, LANE)] = jnp.where(
+                sel_a, ga, gb
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "alpha", "out_h", "out_w")
+)
+def _conv_planar_s2_direct(x, wmat, bias, *, act, alpha, out_h, out_w,
+                           slope=None):
+    """x (B, H, Cin, W) BHCW -> (B, out_h, Cout, out_w); 3x3 stride 2,
+    zero host prolog (pad/phase-reshape resolved in-kernel)."""
+    b, h, cin, w = x.shape
+    cout = wmat.shape[1]
+    cp8 = wmat.shape[2]
+    wo_pad = _round_up(out_w, LANE)
+    bandw = 2 * wo_pad + LANE
+    n_h = _round_up(out_h, TH) // TH
+    if slope is None:
+        slope = jnp.zeros((cout, 1), jnp.float32)
+    precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_s2_direct_kernel, cin=cin, cout=cout, wo_pad=wo_pad,
+            h_in=h, w_in=w, n_h=n_h, act=act, alpha=alpha,
+            precision=precision,
+        ),
+        grid=(b, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cout, cp8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TH, cout, wo_pad),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_h, TH, cout, wo_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * TH + 2, cp8, bandw), x.dtype),
+            pltpu.VMEM((2 * TH + 2, cp8, bandw), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x, wmat, bias, slope)
+    return out.reshape(b, n_h * TH, cout, wo_pad)[:, :out_h, :, :out_w]
+
+
 def pack_weights(w_hwio, cin, dtype=jnp.bfloat16):
     """(kh,kw,Cin,Cout) -> (kh*kw, Cout, round_up(Cin,8)) per-tap lhs.
 
@@ -330,6 +470,13 @@ def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
     wdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if stride == 2:
         assert (kh, kw, pad) == (3, 3, 1) and h % 2 == 0 and w % 2 == 0
+        import os
+
+        if os.environ.get("RIFE_TPU_S2_DIRECT", "1") != "0":
+            wm = pack_weights(w_hwio, cin, wdt)
+            return _conv_planar_s2_direct(x, wm, bb, act=act, alpha=alpha,
+                                          out_h=h // 2, out_w=w // 2,
+                                          slope=sl)
         wm = pack_s2_weights(w_hwio, wdt)
         return _conv_planar_s2(x, wm, bb, act=act, alpha=alpha,
                                out_h=h // 2, out_w=w // 2, slope=sl)

@@ -82,3 +82,35 @@ def test_conv_planar_zero_pad_edges():
     assert got[0, 0, 0, 64] == 18.0
     assert got[0, 0, 0, 0] == 12.0
     assert got[0, 1, 15, 127] == 12.0
+
+
+@pytest.mark.parametrize("cin,cout,h,w,act", [
+    (12, 32, 16, 256, ACT_LEAKY),   # v4 block encoder class
+    (3, 32, 34, 120, ACT_NONE),     # ragged C, unaligned W, odd out_h
+    (10, 48, 16, 960, ACT_LEAKY),   # v2 flownet Conv_177 class
+    (8, 8, 8, 128, ACT_NONE),       # single row tile (n_h == 1)
+])
+def test_conv_s2_direct_matches_packed_path(cin, cout, h, w, act):
+    """The direct stride-2 kernel (in-kernel H phases, no host pad/reshape
+    prolog) must match both the XLA reference and the packed-phase kernel."""
+    import os
+
+    x = jnp.asarray(RNG.standard_normal((2, cin, h, w), dtype=np.float32))
+    k = jnp.asarray(
+        RNG.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.2)
+    b = jnp.asarray(RNG.standard_normal((cout,), dtype=np.float32))
+    ref = conv_planar_ref(x, k, b, stride=2, act=act)
+    xp = x.transpose(0, 2, 1, 3)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_planar(xp, k, b, stride=2, act=act).transpose(0, 2, 1, 3)
+        os.environ["RIFE_TPU_S2_DIRECT"] = "0"
+        try:
+            packed = conv_planar(
+                xp, k, b, stride=2, act=act).transpose(0, 2, 1, 3)
+        finally:
+            del os.environ["RIFE_TPU_S2_DIRECT"]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(packed, np.float32),
+        atol=1e-5)
