@@ -229,6 +229,121 @@ def conv_s2_bhcw(xs, wmat, bias, out_h, *, act=ACT_NONE, alpha=0.2,
     return out.reshape(b, n_h * TH, cout, wo_pad)
 
 
+def _conv_s1_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
+                           sem, *, cin, cout, wo_pad, h_in, w_in, n_h,
+                           act, alpha, precision):
+    """Stride-1 3x3 pad-1 conv straight off the plain BHCW tensor — the
+    same zero-prolog addressing as :func:`_conv_s2_direct_kernel` (see its
+    docstring), minus the H phases and the column extraction: output row r
+    tap (ky, kx) reads band row r+ky; column -1 is the band lane-roll."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = TH + 2
+
+    @pl.when((i == 0) & (j == 0))
+    def _zero_margins():
+        band[...] = jnp.zeros_like(band[...])
+
+    def dma(src_rows0, src_nrows, dst_row0):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(src_rows0, src_nrows)],
+            band.at[pl.ds(dst_row0, src_nrows), pl.ds(0, cin),
+                    pl.ds(0, w_in)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    if n_h == 1:
+        band[0] = jnp.zeros_like(band[0])
+        for rr in range(1 + h_in, rows):
+            band[rr] = jnp.zeros_like(band[rr])
+        dma(0, h_in, 1)
+    else:
+        first = j == 0
+        last = j == n_h - 1
+        avail = h_in - ((n_h - 1) * TH - 1)  # static rows in last tile
+
+        @pl.when(first)
+        def _top():
+            band[0] = jnp.zeros_like(band[0])
+            dma(0, rows - 1, 1)
+
+        @pl.when(last)
+        def _bottom():
+            for rr in range(avail, rows):
+                band[rr] = jnp.zeros_like(band[rr])
+            dma((n_h - 1) * TH - 1, avail, 0)
+
+        @pl.when(jnp.logical_not(first | last))
+        def _interior():
+            dma(j * TH - 1, rows, 0)
+
+    rolled[...] = jnp.roll(band[...], 1, axis=2)
+
+    for r in range(TH):
+        acc = None
+        for t in range(9):
+            ky, kx = divmod(t, 3)
+            src = rolled if kx == 0 else band
+            start = 0 if kx == 0 else kx - 1
+            d = lax.dot_general(
+                w_ref[t], src[r + ky, :, pl.ds(start, wo_pad)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = d if acc is None else acc + d
+        acc = _apply_act(acc + b_ref[:], act, alpha, s_ref)
+        o_ref[0, 0, r] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "alpha", "out_h", "out_w")
+)
+def _conv_planar_s1_direct(x, wmat, bias, *, act, alpha, out_h, out_w,
+                           slope=None):
+    """x (B, H, Cin, W) BHCW -> (B, out_h, Cout, out_w); 3x3 s1 p1, zero
+    host prolog."""
+    b, h, cin, w = x.shape
+    cout = wmat.shape[1]
+    cp8 = wmat.shape[2]
+    wo_pad = _round_up(out_w, LANE)
+    bandw = wo_pad + LANE
+    n_h = _round_up(out_h, TH) // TH
+    if slope is None:
+        slope = jnp.zeros((cout, 1), jnp.float32)
+    precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_s1_direct_kernel, cin=cin, cout=cout, wo_pad=wo_pad,
+            h_in=h, w_in=w, n_h=n_h, act=act, alpha=alpha,
+            precision=precision,
+        ),
+        grid=(b, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cout, cp8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TH, cout, wo_pad),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_h, TH, cout, wo_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2, cp8, bandw), x.dtype),
+            pltpu.VMEM((TH + 2, cp8, bandw), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x, wmat, bias, slope)
+    return out.reshape(b, n_h * TH, cout, wo_pad)[:, :out_h, :, :out_w]
+
+
 def _conv_s2_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
                            sem, *, cin, cout, wo_pad, h_in, w_in, n_h,
                            act, alpha, precision):
@@ -484,6 +599,12 @@ def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
     out_h = h + 2 * pad - (kh - 1)
     out_w = w + 2 * pad - (kw - 1)
     wm = pack_weights(w_hwio, cin, wdt)
+    import os
+
+    if (kh, kw, pad) == (3, 3, 1) and os.environ.get(
+            "RIFE_TPU_S1_DIRECT", "1") != "0":
+        return _conv_planar_s1_direct(x, wm, bb, act=act, alpha=alpha,
+                                      out_h=out_h, out_w=out_w, slope=sl)
     return _conv_planar_s1(
         x, wm, bb, kh=kh, kw=kw, pad=pad, act=act, alpha=alpha,
         out_h=out_h, out_w=out_w, slope=sl,

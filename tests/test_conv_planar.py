@@ -114,3 +114,35 @@ def test_conv_s2_direct_matches_packed_path(cin, cout, h, w, act):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(packed, np.float32),
         atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,h,w,act", [
+    (12, 32, 16, 256, ACT_LEAKY),
+    (3, 32, 33, 120, ACT_NONE),     # ragged C, unaligned W, odd H
+    (32, 32, 16, 960, ACT_RELU),    # v2 body class, W=960
+    (8, 8, 8, 128, ACT_NONE),       # single row tile (n_h == 1)
+])
+def test_conv_s1_direct_matches_padded_path(cin, cout, h, w, act):
+    """The direct stride-1 kernel must match both the XLA reference and the
+    host-padded kernel."""
+    import os
+
+    x = jnp.asarray(RNG.standard_normal((2, cin, h, w), dtype=np.float32))
+    k = jnp.asarray(
+        RNG.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.2)
+    b = jnp.asarray(RNG.standard_normal((cout,), dtype=np.float32))
+    ref = conv_planar_ref(x, k, b, stride=1, act=act)
+    xp = x.transpose(0, 2, 1, 3)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_planar(xp, k, b, stride=1, act=act).transpose(0, 2, 1, 3)
+        os.environ["RIFE_TPU_S1_DIRECT"] = "0"
+        try:
+            padded = conv_planar(
+                xp, k, b, stride=1, act=act).transpose(0, 2, 1, 3)
+        finally:
+            del os.environ["RIFE_TPU_S1_DIRECT"]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(padded, np.float32),
+        atol=1e-5)
