@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ..graph.executor import Executor
-from ..graph.rewrite import fuse_quarter_downscaled_warps
+from ..graph.rewrite import fuse_prelu_activations, fuse_quarter_downscaled_warps
 from ..models.zoo import LoadedModel, load_model
 from ..ops import jax_ops
 from . import pipelines
@@ -139,13 +139,21 @@ class RIFE:
             "contextnet": ("f1", "f2", "f3", "f4"),
             "fusionnet": ("output",),
         }
+        fuse_prelu = os.environ.get("RIFE_TPU_FUSE_PRELU", "1") != "0"
         for name, net in self.model.nets.items():
             graph = net.graph
+            net_weights = net.weights
             if fuse_ds:
                 # exact rewrite: warp-then-quarter-downscale pairs become
                 # compacted tap-grid warps (graph/rewrite.py)
                 graph = fuse_quarter_downscaled_warps(
                     graph, frozenset(_EXTRACTABLE.get(name, ()))
+                )
+            if fuse_prelu:
+                # fold standalone PReLU nodes into their conv (one fused
+                # activation instead of a full tensor round trip per conv)
+                graph, net_weights = fuse_prelu_activations(
+                    graph, net_weights, frozenset(_EXTRACTABLE.get(name, ()))
                 )
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
             ctx = {
@@ -178,21 +186,21 @@ class RIFE:
                 from ..ops.planar_ops import OP_TABLE_PLANAR
 
                 self.executors[name] = PlanarExecutor(
-                    graph, OP_TABLE_PLANAR, net.weights, ctx=ctx
+                    graph, OP_TABLE_PLANAR, net_weights, ctx=ctx
                 )
             elif layout_mode == "region" and use_pallas:
                 from ..graph.executor import RegionExecutor
                 from ..ops.planar_ops import OP_TABLE_PLANAR
 
                 self.executors[name] = RegionExecutor(
-                    graph, jax_ops.OP_TABLE, OP_TABLE_PLANAR, net.weights,
+                    graph, jax_ops.OP_TABLE, OP_TABLE_PLANAR, net_weights,
                     ctx=ctx,
                 )
             else:
                 self.executors[name] = Executor(
-                    graph, jax_ops.OP_TABLE, net.weights, ctx=ctx
+                    graph, jax_ops.OP_TABLE, net_weights, ctx=ctx
                 )
-            weights[name] = jax_ops.prepare_weights(graph, net.weights, wdtype)
+            weights[name] = jax_ops.prepare_weights(graph, net_weights, wdtype)
         self.weights = jax.device_put(weights, self.device)
         self._step_cache: Dict[Tuple, callable] = {}
 

@@ -76,6 +76,65 @@ def _downscale_bilinear(node: LayerNode):
     return None
 
 
+def fuse_prelu_activations(
+    graph: Graph, raw_weights, protected: frozenset = frozenset()
+):
+    """Fold single-consumer PReLU nodes into their producing Convolution/
+    Deconvolution as fused activation ``ACT_PRELU_CH`` (params[9] = 100),
+    the slope riding the conv's LayerWeights.
+
+    The zoo's v1/v2/v3/v4.0 graphs express every conv activation as a
+    separate PReLU node (e.g. /root/reference/models/rife-v2.3/
+    flownet.param — 32 of them), i.e. one full read+write round trip over
+    the activation tensor per conv; v4.6 already fuses its leaky relus into
+    the conv line (flownet.param:11 ``9=2``).  On the Pallas planar conv
+    path the fused form also applies the activation on the f32 accumulator
+    before the storage-dtype cast (one rounding instead of two).
+
+    Returns ``(graph, weights)``; both are new objects sharing unmodified
+    entries.  Pairs whose intermediate blob is ``protected`` (extractable
+    by pipelines) or has more than one consumer are left alone.
+    """
+    import dataclasses
+
+    counts = _consumer_counts(graph.nodes)
+    producer_idx = {}
+    for idx, node in enumerate(graph.nodes):
+        for top in node.tops:
+            producer_idx[top] = idx
+    nodes = list(graph.nodes)
+    weights = dict(raw_weights)
+    dead: set = set()
+    for i, node in enumerate(nodes):
+        if node.type != "PReLU":
+            continue
+        src = node.bottoms[0]
+        if counts.get(src, 0) != 1 or src in protected:
+            continue
+        pidx = producer_idx.get(src)
+        if pidx is None:
+            continue
+        p = nodes[pidx]
+        if p.type not in ("Convolution", "Deconvolution"):
+            continue
+        if int(p.p(9, 0)) != 0:
+            continue  # already has a fused activation
+        lw = weights.get(node.name)
+        plw = weights.get(p.name)
+        if lw is None or lw.slope is None or plw is None:
+            continue
+        nodes[pidx] = LayerNode(
+            p.type, p.name, list(p.bottoms), list(node.tops),
+            {**p.params, 9: 100},
+        )
+        weights[p.name] = dataclasses.replace(plw, slope=lw.slope)
+        dead.add(i)
+    if not dead:
+        return graph, raw_weights
+    nodes = [n for i, n in enumerate(nodes) if i not in dead]
+    return _rebuild(nodes, list(graph.input_blobs)), weights
+
+
 def fuse_quarter_downscaled_warps(
     graph: Graph, protected: frozenset = frozenset()
 ) -> Graph:

@@ -29,6 +29,11 @@ UNARY_LOG, UNARY_SIN, UNARY_COS, UNARY_TAN = 8, 9, 10, 11
 
 # ncnn fused activation_type on Convolution/Deconvolution/InnerProduct
 ACT_NONE, ACT_RELU, ACT_LEAKY, ACT_CLIP, ACT_SIGMOID = 0, 1, 2, 3, 4
+# private extension (graph/rewrite.py fuse_prelu_activations): per-channel
+# PReLU folded into the conv; the slope rides the conv's LayerWeights.
+# ncnn has no such fused type — the zoo expresses it as separate PReLU
+# nodes, each a full read+write round trip over the activation tensor.
+ACT_PRELU_CH = 100
 
 
 def conv_hyperparams(node: LayerNode) -> Tuple[int, int, int, int, int, bool]:

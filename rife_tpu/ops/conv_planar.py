@@ -581,7 +581,9 @@ def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
     kh, kw, _, cout = w_hwio.shape
     bb = (jnp.zeros((cout, 1), jnp.float32) if bias is None
           else bias.reshape(cout, 1).astype(jnp.float32))
-    sl = None if slope is None else slope.reshape(cout, 1).astype(jnp.float32)
+    # ncnn PReLU slope may be per-channel or a single shared scalar
+    sl = (None if slope is None else jnp.broadcast_to(
+        slope.reshape(-1, 1).astype(jnp.float32), (cout, 1)))
     wdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if stride == 2:
         assert (kh, kw, pad) == (3, 3, 1) and h % 2 == 0 and w % 2 == 0
@@ -646,7 +648,8 @@ def deconv_planar(x, w_hwio_flipped, bias=None, *, act=ACT_NONE,
     co = w_hwio_flipped.shape[-1]
     w3 = _deconv_phase_weights(w_hwio_flipped)
     bb = None if bias is None else jnp.tile(bias.reshape(co), 4)
-    sl = None if slope is None else jnp.tile(slope.reshape(co), 4)
+    sl = (None if slope is None else jnp.tile(
+        jnp.broadcast_to(slope.reshape(-1), (co,)), 4))
     y4 = conv_planar(x, w3, bb, stride=1, pad=1, act=act, alpha=alpha,
                      slope=sl)
     # (B, H, {py,px,c}, W): H interleave = free reshape

@@ -367,12 +367,20 @@ _UNARY = {
 # layer table (executor-facing)
 # ---------------------------------------------------------------------------
 
+def _prelu_ch(y, slope):
+    """Per-channel PReLU on NHWC (fused-activation code ACT_PRELU_CH)."""
+    s = slope.astype(y.dtype).reshape((1,) * (y.ndim - 1) + (-1,))
+    return jnp.where(y >= 0, y, y * s)
+
+
 def _op_convolution(node, inputs, w: LayerWeights, ctx):
     _, k, dilation, stride, pad, _ = C.conv_hyperparams(node)
     x = inputs[0]
     hwio = ctx["w"][node.name]["hwio"]
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
+    slope = (ctx["w"][node.name].get("slope")
+             if act == C.ACT_PRELU_CH else None)
     if ctx.get("use_pallas_warp") and ctx.get("planar_escape"):
         # narrow-channel monsters (XLA lane-pads C to 128; see
         # BASELINE.md layout analysis) route via the planar Pallas kernel
@@ -389,10 +397,12 @@ def _op_convolution(node, inputs, w: LayerWeights, ctx):
             alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
             y = conv_planar(
                 x.transpose(0, 1, 3, 2), hwio, bias, stride=stride,
-                pad=pad, act=P._ACT_MAP[act], alpha=alpha,
+                pad=pad, act=P._ACT_MAP[act], alpha=alpha, slope=slope,
             )
             return [y.transpose(0, 1, 3, 2)]
     y = conv2d(x, hwio, bias, stride=stride, pad=pad, dilation=dilation)
+    if act == C.ACT_PRELU_CH:
+        return [_prelu_ch(y, slope)]
     return [apply_activation(y, act, params)]
 
 
@@ -402,6 +412,8 @@ def _op_deconvolution(node, inputs, w, ctx):
     hwio = ctx["w"][node.name]["hwio"]
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
+    slope = (ctx["w"][node.name].get("slope")
+             if act == C.ACT_PRELU_CH else None)
     if ctx.get("use_pallas_warp") and ctx.get("planar_escape"):
         from . import planar_ops as P
 
@@ -414,10 +426,12 @@ def _op_deconvolution(node, inputs, w, ctx):
             alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
             y = deconv_planar(
                 x.transpose(0, 1, 3, 2), hwio, bias,
-                act=P._ACT_MAP[act], alpha=alpha,
+                act=P._ACT_MAP[act], alpha=alpha, slope=slope,
             )
             return [y.transpose(0, 1, 3, 2)]
     y = deconv2d(x, hwio, bias, stride=stride, pad=pad)
+    if act == C.ACT_PRELU_CH:
+        return [_prelu_ch(y, slope)]
     return [apply_activation(y, act, params)]
 
 
@@ -677,9 +691,13 @@ def prepare_weights(
             entry["bias"] = (
                 None if lw.bias is None else jnp.asarray(lw.bias, dtype=jnp.float32)
             )
+            if lw.slope is not None:  # fused PReLU (ACT_PRELU_CH)
+                entry["slope"] = jnp.asarray(lw.slope, dtype=jnp.float32)
         elif node.type == "Deconvolution":
             w = lw.weight[:, :, ::-1, ::-1]  # flip spatial taps
             entry["hwio"] = jnp.asarray(w.transpose(2, 3, 0, 1), dtype=dtype)
+            if lw.slope is not None:  # fused PReLU (ACT_PRELU_CH)
+                entry["slope"] = jnp.asarray(lw.slope, dtype=jnp.float32)
             entry["bias"] = (
                 None if lw.bias is None else jnp.asarray(lw.bias, dtype=jnp.float32)
             )

@@ -36,13 +36,14 @@ from . import jax_ops as J
 from .conv_planar import (
     ACT_LEAKY,
     ACT_NONE,
+    ACT_PRELU,
     ACT_RELU,
     conv_planar,
     deconv_planar,
 )
 
 _ACT_MAP = {C.ACT_NONE: ACT_NONE, C.ACT_RELU: ACT_RELU,
-            C.ACT_LEAKY: ACT_LEAKY}
+            C.ACT_LEAKY: ACT_LEAKY, C.ACT_PRELU_CH: ACT_PRELU}
 
 CH_AXIS = 2  # BHCW: channels on sublanes
 
@@ -114,15 +115,19 @@ def _op_convolution(node, inputs, w, ctx):
     hw = ctx["w"][node.name]["hwio"]
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
+    slope = (ctx["w"][node.name].get("slope")
+             if act == C.ACT_PRELU_CH else None)
     cin, cout = hw.shape[2], hw.shape[3]
     h, wid = x.shape[1], x.shape[3]
     if (ctx.get("use_pallas_warp")
             and conv_wants_planar(node, h, wid, cin, cout, ctx)):
         alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
         return [conv_planar(x, hw, bias, stride=stride, pad=pad,
-                            act=_ACT_MAP[act], alpha=alpha)]
+                            act=_ACT_MAP[act], alpha=alpha, slope=slope)]
     y = J.conv2d(_to_nhwc(x), hw, bias, stride=stride, pad=pad,
                  dilation=dilation)
+    if act == C.ACT_PRELU_CH:
+        return [_to_bhcw(J._prelu_ch(y, slope))]
     return [_to_bhcw(J.apply_activation(y, act, params))]
 
 
@@ -132,13 +137,18 @@ def _op_deconvolution(node, inputs, w, ctx):
     hw = ctx["w"][node.name]["hwio"]
     bias = ctx["w"][node.name]["bias"]
     act, params = C.activation_of(node)
+    slope = (ctx["w"][node.name].get("slope")
+             if act == C.ACT_PRELU_CH else None)
     cin, cout = hw.shape[2], hw.shape[3]
     h, wid = x.shape[1], x.shape[3]
     if (ctx.get("use_pallas_warp")
             and deconv_wants_planar(node, h, wid, cin, cout, ctx)):
         alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
-        return [deconv_planar(x, hw, bias, act=_ACT_MAP[act], alpha=alpha)]
+        return [deconv_planar(x, hw, bias, act=_ACT_MAP[act], alpha=alpha,
+                              slope=slope)]
     y = J.deconv2d(_to_nhwc(x), hw, bias, stride=stride, pad=pad)
+    if act == C.ACT_PRELU_CH:
+        return [_to_bhcw(J._prelu_ch(y, slope))]
     return [_to_bhcw(J.apply_activation(y, act, params))]
 
 

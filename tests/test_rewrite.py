@@ -106,3 +106,45 @@ def test_rewrite_distributes_half_downscale():
     assert any(n.name == "upsample_15__cat" for n in g2.nodes)
     # the original full-res concat (cat_7) is gone
     assert "cat_7" not in names
+
+
+def test_fuse_prelu_activations_v23():
+    """All 56 of rife-v2.3's PReLU nodes fold into their convs; outputs of
+    the fused graph match the unfused one exactly on CPU (f32)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rife_tpu.graph.executor import Executor
+    from rife_tpu.graph.rewrite import fuse_prelu_activations
+    from rife_tpu.models.zoo import load_model
+    from rife_tpu.ops import jax_ops
+
+    net = load_model("rife-v2.3").nets["contextnet"]
+    g0, w0 = net.graph, net.weights
+    g1, w1 = fuse_prelu_activations(g0, w0)
+    assert not g1.layers_of_type("PReLU")
+    assert len(g1.nodes) == len(g0.nodes) - len(g0.layers_of_type("PReLU"))
+    fused_convs = [n for n in g1.nodes
+                   if n.type in ("Convolution", "Deconvolution")
+                   and int(n.p(9, 0)) == 100]
+    assert len(fused_convs) == 10
+    for n in fused_convs:
+        assert w1[n.name].slope is not None
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 32, 48, 2)), jnp.float32)
+    outs = []
+    for g, w in ((g0, w0), (g1, w1)):
+        ex = Executor(g, jax_ops.OP_TABLE, w,
+                      ctx={"w": jax_ops.prepare_weights(g, w)})
+        outs.append(ex.run({"input.1": img, "flow.0": flow},
+                           ["f1", "f2", "f3", "f4"], {}))
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
