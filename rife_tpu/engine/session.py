@@ -23,7 +23,11 @@ import jax
 import numpy as np
 
 from ..graph.executor import Executor
-from ..graph.rewrite import fuse_prelu_activations, fuse_quarter_downscaled_warps
+from ..graph.rewrite import (
+    fuse_concat_into_convs,
+    fuse_prelu_activations,
+    fuse_quarter_downscaled_warps,
+)
 from ..models.zoo import LoadedModel, load_model
 from ..ops import jax_ops
 from . import pipelines
@@ -154,6 +158,13 @@ class RIFE:
                 # activation instead of a full tensor round trip per conv)
                 graph, net_weights = fuse_prelu_activations(
                     graph, net_weights, frozenset(_EXTRACTABLE.get(name, ()))
+                )
+            if os.environ.get("RIFE_TPU_FUSE_CAT", "1") != "0":
+                # feed block-entry concats straight into the stride-2 conv
+                # (the planar kernel DMAs parts into band slots; the NHWC
+                # table re-concatenates — identical semantics either way)
+                graph = fuse_concat_into_convs(
+                    graph, frozenset(_EXTRACTABLE.get(name, ()))
                 )
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
             ctx = {

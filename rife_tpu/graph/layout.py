@@ -54,7 +54,15 @@ def _conv_constraint(node, shapes, ctx) -> str:
         return NHWC
     h, w, cin = xs[1], xs[2], xs[3]
     cout = ys[3]
-    if node.type == "Convolution":
+    if node.type == "ConvolutionCat":
+        # parts concat on channels: the gate needs the TOTAL cin
+        cs = [shapes.get(b) for b in node.bottoms]
+        if any(s is None or len(s) != 4 for s in cs):
+            return NHWC
+        cin = sum(s[3] for s in cs)
+        ok = ctx.get("layout_planar_conv", True) and P.conv_wants_planar(
+            node, h, w, cin, cout, ctx)
+    elif node.type == "Convolution":
         ok = ctx.get("layout_planar_conv", True) and P.conv_wants_planar(
             node, h, w, cin, cout, ctx)
     else:
@@ -152,7 +160,7 @@ def plan_layouts(
         if node.type == "Input":
             layout[i] = NHWC
             continue
-        if node.type in ("Convolution", "Deconvolution"):
+        if node.type in ("Convolution", "ConvolutionCat", "Deconvolution"):
             layout[i] = _conv_constraint(node, shapes, ctx)
             continue
         if node.type in ("rife.Warp", "rife.WarpDs4"):
@@ -184,7 +192,8 @@ def plan_layouts(
             p = producer.get(b)
             if p is not None:
                 pnode = nodes[p[0]]
-                if pnode.type in ("Convolution", "Deconvolution"):
+                if pnode.type in ("Convolution", "ConvolutionCat",
+                                  "Deconvolution"):
                     votes.append(_conv_constraint(pnode, shapes, ctx))
         n_p = votes.count(NCHW)
         layout[i] = NCHW if n_p * 2 > len(votes) else NHWC

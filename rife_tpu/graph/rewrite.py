@@ -135,6 +135,60 @@ def fuse_prelu_activations(
     return _rebuild(nodes, list(graph.input_blobs)), weights
 
 
+def fuse_concat_into_convs(
+    graph: Graph, protected: frozenset = frozenset()
+) -> Graph:
+    """Replace ``Convolution(Concat(parts...))`` (channel-axis concat with
+    a single consumer, 3x3 stride-2 conv) with one ``ConvolutionCat`` node
+    whose bottoms are the parts.
+
+    Every pyramid block of the zoo's flownets starts exactly this way —
+    e.g. the v4 IFBlock encoders consume concat(warped0, warped1, timestep,
+    mask, flow) (/root/reference/models/rife-v4.6/flownet.param:166) and
+    the v2 blocks concat(img0, img1, flow) — and on TPU the materialized
+    narrow concat is pure HBM traffic (42.7 ms of the B=24 v4.6 NHWC step
+    for the 12ch one).  The planar op table feeds the parts straight into
+    the direct stride-2 kernel's band slots; the NHWC table concatenates
+    and delegates (identical semantics, so the rewrite is always safe).
+    """
+    counts = _consumer_counts(graph.nodes)
+    producer_idx = {}
+    for idx, node in enumerate(graph.nodes):
+        for top in node.tops:
+            producer_idx[top] = idx
+    nodes = list(graph.nodes)
+    dead: set = set()
+    changed = False
+    for i, node in enumerate(nodes):
+        if node.type != "Convolution":
+            continue
+        _, k, dilation, stride, pad, _ = (
+            int(node.p(0)), int(node.p(1)), int(node.p(2, 1)),
+            int(node.p(3, 1)), int(node.p(4, 0)), int(node.p(5, 0)),
+        )
+        if (k, dilation, stride, pad) != (3, 1, 2, 1):
+            continue
+        src = node.bottoms[0]
+        if counts.get(src, 0) != 1 or src in protected:
+            continue
+        pidx = producer_idx.get(src)
+        if pidx is None:
+            continue
+        p = nodes[pidx]
+        if p.type != "Concat" or int(p.p(0, 0)) != 0 or len(p.bottoms) < 2:
+            continue
+        nodes[i] = LayerNode(
+            "ConvolutionCat", node.name, list(p.bottoms), list(node.tops),
+            dict(node.params),
+        )
+        dead.add(pidx)
+        changed = True
+    if not changed:
+        return graph
+    nodes = [n for i, n in enumerate(nodes) if i not in dead]
+    return _rebuild(nodes, list(graph.input_blobs))
+
+
 def fuse_quarter_downscaled_warps(
     graph: Graph, protected: frozenset = frozenset()
 ) -> Graph:

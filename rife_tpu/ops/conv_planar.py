@@ -344,9 +344,8 @@ def _conv_planar_s1_direct(x, wmat, bias, *, act, alpha, out_h, out_w,
     return out.reshape(b, n_h * TH, cout, wo_pad)[:, :out_h, :, :out_w]
 
 
-def _conv_s2_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
-                           sem, *, cin, cout, wo_pad, h_in, w_in, n_h,
-                           act, alpha, precision):
+def _conv_s2_direct_kernel(*refs, part_channels, cout, wo_pad, h_in, w_in,
+                           n_h, act, alpha, precision):
     """Stride-2 3x3 pad-1 conv straight off the plain BHCW tensor.
 
     The packed-phase kernel above needs a host-side prolog — ``jnp.pad`` to
@@ -360,7 +359,15 @@ def _conv_s2_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
     wrapped column IS the zero pad); taps kx in {1,2} slice at kx-1; all
     taps land output column x' at rhs column 2x', extracted once per row.
     Band edges (row -1, rows >= h_in) are zero-filled by the edge branches.
+
+    Multi-input form (``ConvolutionCat``): each concat part DMAs into its
+    own 8-aligned channel slot of the band — the channel concat feeding
+    the conv never materializes in HBM.  ``refs`` is
+    ``(*x_hbms, w_ref, b_ref, s_ref, o_ref, band, rolled, sem)``.
     """
+    n_parts = len(part_channels)
+    x_hbms = refs[:n_parts]
+    w_ref, b_ref, s_ref, o_ref, band, rolled, sem = refs[n_parts:]
     i = pl.program_id(0)
     j = pl.program_id(1)
     w2 = 2 * wo_pad
@@ -368,19 +375,22 @@ def _conv_s2_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
 
     @pl.when((i == 0) & (j == 0))
     def _zero_margins():
-        # channel rows [cin, cp8) and width cols [w_in, bandw) are never
+        # channel slot padding and width cols [w_in, bandw) are never
         # DMA'd; zero once, they persist across grid cells
         band[...] = jnp.zeros_like(band[...])
 
     def dma(src_rows0, src_nrows, dst_row0):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(src_rows0, src_nrows)],
-            band.at[pl.ds(dst_row0, src_nrows), pl.ds(0, cin),
-                    pl.ds(0, w_in)],
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        off = 0
+        for x_hbm, cin in zip(x_hbms, part_channels):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[i, pl.ds(src_rows0, src_nrows)],
+                band.at[pl.ds(dst_row0, src_nrows),
+                        pl.ds(off, cin), pl.ds(0, w_in)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            off += _round_up(cin, TH)
 
     if n_h == 1:
         band[0] = jnp.zeros_like(band[0])
@@ -445,25 +455,39 @@ def _conv_planar_s2_direct(x, wmat, bias, *, act, alpha, out_h, out_w,
                            slope=None):
     """x (B, H, Cin, W) BHCW -> (B, out_h, Cout, out_w); 3x3 stride 2,
     zero host prolog (pad/phase-reshape resolved in-kernel)."""
-    b, h, cin, w = x.shape
+    return _conv_planar_s2_direct_cat(
+        (x,), wmat, bias, act=act, alpha=alpha, out_h=out_h, out_w=out_w,
+        slope=slope)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "alpha", "out_h", "out_w")
+)
+def _conv_planar_s2_direct_cat(parts, wmat, bias, *, act, alpha,
+                               out_h, out_w, slope=None):
+    """Multi-input form: ``parts`` are BHCW tensors whose channel concat is
+    the conv input (the concat never materializes; each part DMAs into its
+    own 8-aligned band slot).  ``wmat`` from :func:`pack_weights_cat`."""
+    b, h, _, w = parts[0].shape
     cout = wmat.shape[1]
     cp8 = wmat.shape[2]
+    part_channels = tuple(p.shape[2] for p in parts)
+    assert cp8 == sum(_round_up(c, TH) for c in part_channels)
     wo_pad = _round_up(out_w, LANE)
     bandw = 2 * wo_pad + LANE
     n_h = _round_up(out_h, TH) // TH
     if slope is None:
         slope = jnp.zeros((cout, 1), jnp.float32)
-    precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+    precision = (lax.Precision.HIGHEST if parts[0].dtype == jnp.float32
                  else lax.Precision.DEFAULT)
     out = pl.pallas_call(
         functools.partial(
-            _conv_s2_direct_kernel, cin=cin, cout=cout, wo_pad=wo_pad,
-            h_in=h, w_in=w, n_h=n_h, act=act, alpha=alpha,
+            _conv_s2_direct_kernel, part_channels=part_channels, cout=cout,
+            wo_pad=wo_pad, h_in=h, w_in=w, n_h=n_h, act=act, alpha=alpha,
             precision=precision,
         ),
         grid=(b, n_h),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in parts] + [
             pl.BlockSpec((9, cout, cp8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
@@ -474,13 +498,14 @@ def _conv_planar_s2_direct(x, wmat, bias, *, act, alpha, out_h, out_w,
         out_specs=pl.BlockSpec((1, 1, TH, cout, wo_pad),
                                lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_h, TH, cout, wo_pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_h, TH, cout, wo_pad), parts[0].dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * TH + 2, cp8, bandw), x.dtype),
-            pltpu.VMEM((2 * TH + 2, cp8, bandw), x.dtype),
+            pltpu.VMEM((2 * TH + 2, cp8, bandw), parts[0].dtype),
+            pltpu.VMEM((2 * TH + 2, cp8, bandw), parts[0].dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(x, wmat, bias, slope)
+    )(*parts, wmat, bias, slope)
     return out.reshape(b, n_h * TH, cout, wo_pad)[:, :out_h, :, :out_w]
 
 
@@ -495,6 +520,24 @@ def pack_weights(w_hwio, cin, dtype=jnp.bfloat16):
     if cp != ci:
         wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - ci)))
     return wm
+
+
+def pack_weights_cat(w_hwio, part_channels, dtype=jnp.bfloat16):
+    """(kh,kw,sum(c_i),Cout) -> (kh*kw, Cout, sum(round_up(c_i,8))) with
+    each concat part's channel block padded to its 8-aligned band slot
+    (matching :func:`_conv_planar_s2_direct_cat`'s DMA layout)."""
+    kh, kw, _, co = w_hwio.shape
+    blocks = []
+    off = 0
+    for c in part_channels:
+        blk = w_hwio[:, :, off:off + c, :].astype(dtype)
+        wm = blk.reshape(kh * kw, c, co).transpose(0, 2, 1)
+        cp = _round_up(c, TH)
+        if cp != c:
+            wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - c)))
+        blocks.append(wm)
+        off += c
+    return jnp.concatenate(blocks, axis=2)
 
 
 def pack_s2_weights(w_hwio, dtype=jnp.bfloat16):
@@ -611,6 +654,27 @@ def conv_planar(x, w_hwio, bias=None, *, stride=1, pad=1,
         x, wm, bb, kh=kh, kw=kw, pad=pad, act=act, alpha=alpha,
         out_h=out_h, out_w=out_w, slope=sl,
     )
+
+
+def conv_planar_cat(parts, w_hwio, bias=None, *, act=ACT_NONE, alpha=0.2,
+                    slope=None):
+    """3x3 stride-2 pad-1 BHCW conv over the channel-concat of ``parts``
+    without materializing the concat (graph/rewrite.py
+    ``fuse_concat_into_convs``).  Semantics identical to
+    ``conv_planar(concat(parts, C-axis), ...)`` with stride 2."""
+    b, h, _, w = parts[0].shape
+    kh, kw, cin, cout = w_hwio.shape
+    assert (kh, kw) == (3, 3) and h % 2 == 0 and w % 2 == 0
+    assert cin == sum(p.shape[2] for p in parts)
+    bb = (jnp.zeros((cout, 1), jnp.float32) if bias is None
+          else bias.reshape(cout, 1).astype(jnp.float32))
+    sl = (None if slope is None else jnp.broadcast_to(
+        slope.reshape(-1, 1).astype(jnp.float32), (cout, 1)))
+    wdt = parts[0].dtype if parts[0].dtype == jnp.bfloat16 else jnp.float32
+    wm = pack_weights_cat(w_hwio, tuple(p.shape[2] for p in parts), wdt)
+    return _conv_planar_s2_direct_cat(
+        tuple(parts), wm, bb, act=act, alpha=alpha,
+        out_h=h // 2, out_w=w // 2, slope=sl)
 
 
 def _deconv_phase_weights(wf):

@@ -642,8 +642,16 @@ def _op_warp(node, inputs, w, ctx):
     return [warp(image, flow)]
 
 
+def _op_convolution_cat(node, inputs, w, ctx):
+    """ConvolutionCat (graph/rewrite.py fuse_concat_into_convs): on the
+    NHWC path the concat is re-materialized — identical semantics; the
+    planar table feeds the parts straight into the kernel's band slots."""
+    return _op_convolution(node, [jnp.concatenate(inputs, axis=3)], w, ctx)
+
+
 OP_TABLE = {
     "Convolution": _op_convolution,
+    "ConvolutionCat": _op_convolution_cat,
     "Deconvolution": _op_deconvolution,
     "InnerProduct": _op_innerproduct,
     "PReLU": _op_prelu,
@@ -684,7 +692,7 @@ def prepare_weights(
         if lw is None:
             continue
         entry: Dict[str, Optional[jnp.ndarray]] = {}
-        if node.type == "Convolution":
+        if node.type in ("Convolution", "ConvolutionCat"):
             entry["hwio"] = jnp.asarray(
                 lw.weight.transpose(2, 3, 1, 0), dtype=dtype
             )

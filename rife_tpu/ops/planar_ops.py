@@ -39,6 +39,7 @@ from .conv_planar import (
     ACT_PRELU,
     ACT_RELU,
     conv_planar,
+    conv_planar_cat,
     deconv_planar,
 )
 
@@ -129,6 +130,31 @@ def _op_convolution(node, inputs, w, ctx):
     if act == C.ACT_PRELU_CH:
         return [_to_bhcw(J._prelu_ch(y, slope))]
     return [_to_bhcw(J.apply_activation(y, act, params))]
+
+
+def _op_convolution_cat(node, inputs, w, ctx):
+    """ConvolutionCat on BHCW: when the conv runs on the direct stride-2
+    Pallas kernel, the parts DMA into the band's 8-aligned channel slots
+    and the concat never materializes; otherwise concat + delegate."""
+    import os
+
+    _, k, dilation, stride, pad, _ = C.conv_hyperparams(node)
+    hw = ctx["w"][node.name]["hwio"]
+    cin, cout = hw.shape[2], hw.shape[3]
+    h, wid = inputs[0].shape[1], inputs[0].shape[3]
+    act, params = C.activation_of(node)
+    if (ctx.get("use_pallas_warp")
+            and stride == 2
+            and os.environ.get("RIFE_TPU_S2_DIRECT", "1") != "0"
+            and conv_wants_planar(node, h, wid, cin, cout, ctx)):
+        bias = ctx["w"][node.name]["bias"]
+        slope = (ctx["w"][node.name].get("slope")
+                 if act == C.ACT_PRELU_CH else None)
+        alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
+        return [conv_planar_cat(inputs, hw, bias, act=_ACT_MAP[act],
+                                alpha=alpha, slope=slope)]
+    return _op_convolution(
+        node, [jnp.concatenate(inputs, axis=CH_AXIS)], w, ctx)
 
 
 def _op_deconvolution(node, inputs, w, ctx):
@@ -323,6 +349,7 @@ def _op_warp_ds4_planar(node, inputs, w, ctx):
 
 OP_TABLE_PLANAR = {
     "Convolution": _op_convolution,
+    "ConvolutionCat": _op_convolution_cat,
     "Deconvolution": _op_deconvolution,
     "InnerProduct": J._op_innerproduct,
     "PReLU": _op_prelu,

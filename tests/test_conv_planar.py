@@ -146,3 +146,29 @@ def test_conv_s1_direct_matches_padded_path(cin, cout, h, w, act):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(padded, np.float32),
         atol=1e-5)
+
+
+@pytest.mark.parametrize("parts_c,h,w,cout,act", [
+    ((3, 3, 4), 16, 256, 48, ACT_LEAKY),   # v2 flownet block entry
+    ((8, 4), 34, 960, 32, ACT_NONE),       # v4 block entry class
+    ((3, 3, 1, 1, 4), 16, 120, 32, ACT_LEAKY),
+])
+def test_conv_planar_cat_matches_concat(parts_c, h, w, cout, act):
+    """ConvolutionCat kernel: parts DMA into band channel slots — must
+    equal conv(concat(parts)) exactly."""
+    from rife_tpu.ops.conv_planar import conv_planar_cat
+
+    parts = [jnp.asarray(RNG.standard_normal((2, c, h, w), dtype=np.float32))
+             for c in parts_c]
+    cin = sum(parts_c)
+    k = jnp.asarray(
+        RNG.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.2)
+    b = jnp.asarray(RNG.standard_normal((cout,), dtype=np.float32))
+    ref = conv_planar_ref(jnp.concatenate(parts, axis=1), k, b,
+                          stride=2, act=act)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_planar_cat(
+            [p.transpose(0, 2, 1, 3) for p in parts], k, b, act=act
+        ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-4)

@@ -148,3 +148,39 @@ def test_fuse_prelu_activations_v23():
                            ["f1", "f2", "f3", "f4"], {}))
     for a, b in zip(*outs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fuse_concat_into_convs_v46():
+    """The v4.6 block-entry concats become ConvolutionCat nodes; the NHWC
+    table output is identical (it re-materializes the concat)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rife_tpu.graph.executor import Executor
+    from rife_tpu.graph.rewrite import fuse_concat_into_convs
+    from rife_tpu.models.zoo import load_model
+    from rife_tpu.ops import jax_ops
+
+    net = load_model("rife-v4.6").nets["flownet"]
+    g0, w0 = net.graph, net.weights
+    g1 = fuse_concat_into_convs(g0)
+    cats = [n for n in g1.nodes if n.type == "ConvolutionCat"]
+    assert len(cats) == 3  # cat_4/cat_8/cat_12 block entries
+    assert len(g1.nodes) == len(g0.nodes) - 3  # each eats its Concat
+
+    rng = np.random.default_rng(9)
+    i0 = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+    i1 = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+    t = jnp.full((1, 64, 96, 1), 0.5, jnp.float32)
+    outs = []
+    for g in (g0, g1):
+        ex = Executor(g, jax_ops.OP_TABLE, w0,
+                      ctx={"w": jax_ops.prepare_weights(g, w0)})
+        outs.append(ex.run({"in0": i0, "in1": i1, "in2": t}, ["out0"], {})[0])
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
