@@ -55,11 +55,12 @@ def _net_io(family: str, net: str, B, ph, pw, dt):
             ["f1", "f2", "f3", "f4"],
         )
     # fusionnet: img0/img1 full res, half-res flow, ctx features f1..f4 x2
+    # (contextnet emits f_k at 1/4..1/32 of full resolution)
     ins = {"img0": s(B, ph, pw, 3), "img1": s(B, ph, pw, 3),
            "flow": s(B, ph // 2, pw // 2, 4 if family == "v2" else 2)}
     for i in range(8):
         c = [32, 64, 128, 256][i % 4]
-        sc = 2 ** (1 + i % 4)
+        sc = 2 ** (2 + i % 4)
         ins[str(3 + i)] = s(B, ph // sc, pw // sc, c)
     return ins, ["output"]
 
