@@ -25,6 +25,7 @@ import numpy as np
 from ..graph.executor import Executor
 from ..graph.rewrite import (
     fuse_concat_into_convs,
+    fuse_pixelshuffle_into_convs,
     fuse_prelu_activations,
     fuse_quarter_downscaled_warps,
 )
@@ -164,6 +165,14 @@ class RIFE:
                 # (the planar kernel DMAs parts into band slots; the NHWC
                 # table re-concatenates — identical semantics either way)
                 graph = fuse_concat_into_convs(
+                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                )
+            if os.environ.get("RIFE_TPU_FUSE_PS", "1") != "0":
+                # bake PixelShuffle channel regrouping into the producing
+                # conv/deconv (NHWC: plain composition; planar: weight
+                # permutation — one lane interleave instead of two + a
+                # full-res relayout)
+                graph = fuse_pixelshuffle_into_convs(
                     graph, frozenset(_EXTRACTABLE.get(name, ()))
                 )
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))

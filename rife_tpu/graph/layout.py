@@ -54,7 +54,15 @@ def _conv_constraint(node, shapes, ctx) -> str:
         return NHWC
     h, w, cin = xs[1], xs[2], xs[3]
     cout = ys[3]
-    if node.type == "ConvolutionCat":
+    if node.type in ("rife.ConvPS", "rife.DeconvPS"):
+        # ys is the POST-shuffle shape; the gate needs the conv's own cout
+        cout = cout * int(node.p(25, 2)) ** 2
+        gate = (P.deconv_wants_planar if node.type == "rife.DeconvPS"
+                else P.conv_wants_planar)
+        key = ("layout_planar_deconv" if node.type == "rife.DeconvPS"
+               else "layout_planar_conv")
+        ok = ctx.get(key, True) and gate(node, h, w, cin, cout, ctx)
+    elif node.type == "ConvolutionCat":
         # parts concat on channels: the gate needs the TOTAL cin
         cs = [shapes.get(b) for b in node.bottoms]
         if any(s is None or len(s) != 4 for s in cs):
@@ -160,7 +168,8 @@ def plan_layouts(
         if node.type == "Input":
             layout[i] = NHWC
             continue
-        if node.type in ("Convolution", "ConvolutionCat", "Deconvolution"):
+        if node.type in ("Convolution", "ConvolutionCat", "Deconvolution",
+                         "rife.ConvPS", "rife.DeconvPS"):
             layout[i] = _conv_constraint(node, shapes, ctx)
             continue
         if node.type in ("rife.Warp", "rife.WarpDs4"):
@@ -193,7 +202,8 @@ def plan_layouts(
             if p is not None:
                 pnode = nodes[p[0]]
                 if pnode.type in ("Convolution", "ConvolutionCat",
-                                  "Deconvolution"):
+                                  "Deconvolution", "rife.ConvPS",
+                                  "rife.DeconvPS"):
                     votes.append(_conv_constraint(pnode, shapes, ctx))
         n_p = votes.count(NCHW)
         layout[i] = NCHW if n_p * 2 > len(votes) else NHWC

@@ -189,6 +189,69 @@ def fuse_concat_into_convs(
     return _rebuild(nodes, list(graph.input_blobs))
 
 
+def fuse_pixelshuffle_into_convs(
+    graph: Graph, protected: frozenset = frozenset()
+) -> Graph:
+    """Replace ``PixelShuffle(r=2)(Convolution|Deconvolution)`` with a single
+    ``rife.ConvPS`` / ``rife.DeconvPS`` node (conv params preserved; the
+    shuffle factor rides param key 25, unused by ncnn conv layers).
+
+    Every zoo graph ends its decoder this way — the v4 block tails
+    ``Deconvolution(4x4 s2, 24ch) -> PixelShuffle(2) -> flow``
+    (/root/reference/models/rife-v4.6/flownet.param:45-46) and the v1-family
+    ``Convolution(3x3, 8-16ch) -> PixelShuffle(2)``
+    (/root/reference/models/rife/flownet.param:77-78).  On the NHWC table the
+    fused node just composes the two ops (identical semantics, so the rewrite
+    is always safe); on the planar table the shuffle's channel regrouping is
+    baked into the conv's OUTPUT-CHANNEL ORDER (a weight permutation, done
+    once), which turns the H interleave into a free BHCW reshape and
+    collapses the deconv phase interleave + full-res PixelShuffle relayout
+    into one lane interleave (ops/conv_planar.py deconv_ps_planar).
+    """
+    counts = _consumer_counts(graph.nodes)
+    producer_idx = {}
+    for idx, node in enumerate(graph.nodes):
+        for top in node.tops:
+            producer_idx[top] = idx
+    nodes = list(graph.nodes)
+    dead: set = set()
+    changed = False
+    for i, node in enumerate(nodes):
+        if node.type != "PixelShuffle" or int(node.p(0, 1)) != 2:
+            continue
+        src = node.bottoms[0]
+        if counts.get(src, 0) != 1 or src in protected:
+            continue
+        pidx = producer_idx.get(src)
+        if pidx is None:
+            continue
+        p = nodes[pidx]
+        if p.type == "Convolution":
+            fused = "rife.ConvPS"
+        elif p.type == "Deconvolution":
+            _, k, _, stride, pad, _ = (
+                int(p.p(0)), int(p.p(1)), int(p.p(2, 1)),
+                int(p.p(3, 1)), int(p.p(4, 0)), int(p.p(5, 0)),
+            )
+            if (k, stride, pad) != (4, 2, 1):
+                continue  # planar phase decomposition assumes this geometry
+            fused = "rife.DeconvPS"
+        else:
+            continue
+        if int(p.p(0, 0)) % 4:
+            continue  # out channels must split into r*r groups
+        nodes[pidx] = LayerNode(
+            fused, p.name, list(p.bottoms), list(node.tops),
+            {**p.params, 25: 2},
+        )
+        dead.add(i)
+        changed = True
+    if not changed:
+        return graph
+    nodes = [n for i, n in enumerate(nodes) if i not in dead]
+    return _rebuild(nodes, list(graph.input_blobs))
+
+
 def fuse_quarter_downscaled_warps(
     graph: Graph, protected: frozenset = frozenset()
 ) -> Graph:

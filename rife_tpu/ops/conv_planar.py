@@ -723,6 +723,67 @@ def deconv_planar(x, w_hwio_flipped, bias=None, *, act=ACT_NONE,
     return y.reshape(b, 2 * h, co, 2 * w)
 
 
+def conv_ps_planar(x, w_hwio, bias=None, *, r=2, stride=1, pad=1,
+                   act=ACT_NONE, alpha=0.2, slope=None):
+    """BHCW Convolution followed by PixelShuffle(r), the shuffle's channel
+    regrouping baked into the conv's output-channel ORDER (a static weight
+    permutation): channels come out Y-subphase-major ({i, j, c} instead of
+    torch's {c, i, j}), so the H interleave is a FREE BHCW reshape and only
+    one W lane-interleave remains.  Matches
+    ``pixel_shuffle(conv_planar_ref(...))`` exactly (same float ops, just
+    reordered writes).  Reference: /root/reference/models/rife/
+    flownet.param:77-78 (Conv 3x3 -> DepthToSpace)."""
+    import numpy as np
+
+    co = w_hwio.shape[-1]
+    c = co // (r * r)
+    # target channel t = (i*r + j)*c + cc  <-  source channel cc*r*r + i*r + j
+    t = np.arange(co)
+    src = (t % c) * (r * r) + t // c
+    bb = None if bias is None else jnp.asarray(bias).reshape(co)[src]
+    sl = (None if slope is None else
+          jnp.broadcast_to(jnp.asarray(slope).reshape(-1), (co,))[src])
+    y = conv_planar(x, w_hwio[..., src], bb, stride=stride, pad=pad,
+                    act=act, alpha=alpha, slope=sl)
+    b, oh, _, ow = y.shape
+    y = y.reshape(b, oh * r, r * c, ow)  # H interleave: free reshape
+    y = y.reshape(b, oh * r, r, c, ow).transpose(0, 1, 3, 4, 2)
+    return y.reshape(b, oh * r, c, ow * r)
+
+
+def deconv_ps_planar(x, w_hwio_flipped, bias=None, *, act=ACT_NONE,
+                     alpha=0.2, slope=None):
+    """BHCW ConvTranspose 4x4 s2 p1 followed by PixelShuffle(2) — the v4
+    block tail (/root/reference/models/rife-v4.6/flownet.param:45-46) — as
+    ONE planar phase conv whose output channels are ordered
+    {(2py+i), (2px+j), c}: the combined x4 H interleave is a free BHCW
+    reshape, and the deconv phase interleave + the full-res PixelShuffle
+    relayout collapse into a single x4 W lane-interleave (the intermediate
+    24ch tensor never touches HBM).  Bit-identical to
+    ``pixel_shuffle(deconv_planar(...))``."""
+    import numpy as np
+
+    b, h, cin, w = x.shape
+    co = w_hwio_flipped.shape[-1]
+    c = co // 4
+    w3 = _deconv_phase_weights(w_hwio_flipped)
+    # source channel s = (py*2+px)*co + cc*4 + i*2 + j  (deconv phase blocks
+    # of torch-PS-ordered channels); fused target t = ((2py+i)*4+(2px+j))*c+cc
+    t = np.arange(4 * co)
+    cc = t % c
+    pxj = (t // c) % 4
+    pyi = t // (4 * c)
+    src = ((pyi // 2) * 2 + pxj // 2) * co + cc * 4 + (pyi % 2) * 2 + pxj % 2
+    bb = None if bias is None else jnp.asarray(bias).reshape(co)[src % co]
+    sl = (None if slope is None else jnp.broadcast_to(
+        jnp.asarray(slope).reshape(-1), (co,))[src % co])
+    y = conv_planar(x, w3[..., src], bb, stride=1, pad=1, act=act,
+                    alpha=alpha, slope=sl)
+    y = y.reshape(b, 4 * h, 4 * c, w)  # x4 H interleave: free reshape
+    y = y.reshape(b, 4 * h, 4, c, w).transpose(0, 1, 3, 4, 2)
+    return y.reshape(b, 4 * h, c, 4 * w)
+
+
 def conv_planar_ref(x, w_hwio, bias=None, *, stride=1, pad=1,
                     act=ACT_NONE, alpha=0.2):
     """XLA reference with identical semantics (NCHW in/out, for tests)."""

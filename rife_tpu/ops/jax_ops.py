@@ -649,6 +649,16 @@ def _op_convolution_cat(node, inputs, w, ctx):
     return _op_convolution(node, [jnp.concatenate(inputs, axis=3)], w, ctx)
 
 
+def _op_conv_ps(node, inputs, w, ctx):
+    """rife.ConvPS / rife.DeconvPS (graph/rewrite.py
+    fuse_pixelshuffle_into_convs): on the NHWC path the fusion buys nothing,
+    so just compose the two ops — identical semantics; the planar table
+    bakes the shuffle into the conv's output-channel order."""
+    op = (_op_deconvolution if node.type == "rife.DeconvPS"
+          else _op_convolution)
+    return [pixel_shuffle(op(node, inputs, w, ctx)[0], int(node.p(25, 2)))]
+
+
 OP_TABLE = {
     "Convolution": _op_convolution,
     "ConvolutionCat": _op_convolution_cat,
@@ -668,6 +678,8 @@ OP_TABLE = {
     "UnaryOp": _op_unaryop,
     "Eltwise": _op_eltwise,
     "PixelShuffle": _op_pixelshuffle,
+    "rife.ConvPS": _op_conv_ps,
+    "rife.DeconvPS": _op_conv_ps,
     "rife.Warp": _op_warp,
     "rife.WarpDs4": _op_warp_ds4,
 }
@@ -692,7 +704,7 @@ def prepare_weights(
         if lw is None:
             continue
         entry: Dict[str, Optional[jnp.ndarray]] = {}
-        if node.type in ("Convolution", "ConvolutionCat"):
+        if node.type in ("Convolution", "ConvolutionCat", "rife.ConvPS"):
             entry["hwio"] = jnp.asarray(
                 lw.weight.transpose(2, 3, 1, 0), dtype=dtype
             )
@@ -701,7 +713,7 @@ def prepare_weights(
             )
             if lw.slope is not None:  # fused PReLU (ACT_PRELU_CH)
                 entry["slope"] = jnp.asarray(lw.slope, dtype=jnp.float32)
-        elif node.type == "Deconvolution":
+        elif node.type in ("Deconvolution", "rife.DeconvPS"):
             w = lw.weight[:, :, ::-1, ::-1]  # flip spatial taps
             entry["hwio"] = jnp.asarray(w.transpose(2, 3, 0, 1), dtype=dtype)
             if lw.slope is not None:  # fused PReLU (ACT_PRELU_CH)

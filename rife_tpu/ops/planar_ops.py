@@ -178,6 +178,41 @@ def _op_deconvolution(node, inputs, w, ctx):
     return [_to_bhcw(J.apply_activation(y, act, params))]
 
 
+def _op_conv_ps(node, inputs, w, ctx):
+    """rife.ConvPS / rife.DeconvPS on BHCW: the PixelShuffle's channel
+    regrouping is baked into the conv's output-channel order (a static
+    weight permutation, conv_planar.{conv,deconv}_ps_planar), so only one
+    W lane-interleave remains and the pre-shuffle tensor never hits HBM."""
+    from .conv_planar import conv_ps_planar, deconv_ps_planar
+
+    x = inputs[0]
+    hw = ctx["w"][node.name]["hwio"]
+    bias = ctx["w"][node.name]["bias"]
+    act, params = C.activation_of(node)
+    slope = (ctx["w"][node.name].get("slope")
+             if act == C.ACT_PRELU_CH else None)
+    cin, cout = hw.shape[2], hw.shape[3]
+    h, wid = x.shape[1], x.shape[3]
+    r = int(node.p(25, 2))
+    _, k, dilation, stride, pad, _ = C.conv_hyperparams(node)
+    if node.type == "rife.DeconvPS":
+        ok = (ctx.get("use_pallas_warp")
+              and deconv_wants_planar(node, h, wid, cin, cout, ctx))
+        if ok:
+            alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
+            return [deconv_ps_planar(x, hw, bias, act=_ACT_MAP[act],
+                                     alpha=alpha, slope=slope)]
+    else:
+        ok = (ctx.get("use_pallas_warp")
+              and conv_wants_planar(node, h, wid, cin, cout, ctx))
+        if ok:
+            alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
+            return [conv_ps_planar(x, hw, bias, r=r, stride=stride, pad=pad,
+                                   act=_ACT_MAP[act], alpha=alpha,
+                                   slope=slope)]
+    return [_to_bhcw(J._op_conv_ps(node, [_to_nhwc(x)], w, ctx)[0])]
+
+
 def _op_prelu(node, inputs, w, ctx):
     x = inputs[0]
     slope = ctx["w"][node.name]["slope"].astype(x.dtype)
@@ -366,6 +401,8 @@ OP_TABLE_PLANAR = {
     "UnaryOp": J._op_unaryop,
     "Eltwise": J._op_eltwise,
     "PixelShuffle": _op_pixelshuffle,
+    "rife.ConvPS": _op_conv_ps,
+    "rife.DeconvPS": _op_conv_ps,
     "rife.Warp": _op_warp_planar,
     "rife.WarpDs4": _op_warp_ds4_planar,
 }

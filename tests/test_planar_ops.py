@@ -96,3 +96,60 @@ def test_pixelshuffle_planar_matches_nhwc():
         x.transpose(0, 1, 3, 2), 2).transpose(0, 1, 3, 2)
     got = _op_pixelshuffle(N(), [x], None, {})[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_deconv_ps_planar_matches_compose():
+    """deconv_ps_planar == pixel_shuffle(deconv2d(...), 2) exactly — the
+    fusion only reorders output-channel writes (graph/rewrite.py
+    fuse_pixelshuffle_into_convs)."""
+    from rife_tpu.ops.conv_planar import deconv_ps_planar
+
+    ci, co, h, w = 6, 8, 8, 128  # c = co//4 = 2
+    x = jnp.asarray(RNG.standard_normal((2, h, ci, w), dtype=np.float32))
+    wf = jnp.asarray(
+        RNG.standard_normal((4, 4, ci, co), dtype=np.float32) * 0.2)
+    bias = jnp.asarray(RNG.standard_normal((co,), dtype=np.float32))
+    ref = jax_ops.pixel_shuffle(
+        jax_ops.deconv2d(x.transpose(0, 1, 3, 2), wf, bias, stride=2, pad=1),
+        2,
+    ).transpose(0, 1, 3, 2)  # -> BHCW
+    with pltpu.force_tpu_interpret_mode():
+        got = deconv_ps_planar(x, wf, bias)
+    assert got.shape == ref.shape == (2, 4 * h, co // 4, 4 * w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_deconv_ps_planar_prelu_slope_permutes():
+    """Fused per-channel PReLU: the slope vector must ride the same
+    output-channel permutation as the weights."""
+    from rife_tpu.ops.conv_planar import ACT_PRELU, deconv_ps_planar
+
+    ci, co, h, w = 4, 8, 8, 128
+    x = jnp.asarray(RNG.standard_normal((1, h, ci, w), dtype=np.float32))
+    wf = jnp.asarray(
+        RNG.standard_normal((4, 4, ci, co), dtype=np.float32) * 0.3)
+    slope = jnp.asarray(RNG.uniform(0.05, 0.5, (co,)).astype(np.float32))
+    y = jax_ops.deconv2d(x.transpose(0, 1, 3, 2), wf, None, stride=2, pad=1)
+    y = jnp.where(y >= 0, y, y * slope.reshape(1, 1, 1, co))
+    ref = jax_ops.pixel_shuffle(y, 2).transpose(0, 1, 3, 2)
+    with pltpu.force_tpu_interpret_mode():
+        got = deconv_ps_planar(x, wf, None, act=ACT_PRELU, slope=slope)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_conv_ps_planar_matches_compose():
+    from rife_tpu.ops.conv_planar import conv_ps_planar
+
+    ci, co, h, w = 4, 8, 8, 128  # c = co//4 = 2
+    x = jnp.asarray(RNG.standard_normal((2, h, ci, w), dtype=np.float32))
+    hw = jnp.asarray(
+        RNG.standard_normal((3, 3, ci, co), dtype=np.float32) * 0.2)
+    bias = jnp.asarray(RNG.standard_normal((co,), dtype=np.float32))
+    ref = jax_ops.pixel_shuffle(
+        jax_ops.conv2d(x.transpose(0, 1, 3, 2), hw, bias, stride=1, pad=1),
+        2,
+    ).transpose(0, 1, 3, 2)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_ps_planar(x, hw, bias, r=2)
+    assert got.shape == ref.shape == (2, 2 * h, co // 4, 2 * w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)

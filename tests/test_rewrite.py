@@ -184,3 +184,87 @@ def test_fuse_concat_into_convs_v46():
                       ctx={"w": jax_ops.prepare_weights(g, w0)})
         outs.append(ex.run({"in0": i0, "in1": i1, "in2": t}, ["out0"], {})[0])
     np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
+def test_fuse_pixelshuffle_fires_and_is_exact_v46():
+    """Deconvolution(4x4 s2) -> PixelShuffle(2) block tails fuse into
+    rife.DeconvPS; executed numbers are identical on the NHWC path (the
+    fused node literally composes the two ops there)."""
+    from rife_tpu.graph.executor import Executor
+    from rife_tpu.graph.rewrite import fuse_pixelshuffle_into_convs
+    from rife_tpu.models.zoo import load_model
+
+    net = load_model("rife-v4.6").nets["flownet"]
+    g, w = net.graph, net.weights
+    g2 = fuse_pixelshuffle_into_convs(g)
+    hist = g2.type_histogram()
+    assert hist.get("rife.DeconvPS", 0) == 4
+    assert hist.get("PixelShuffle", 0) == 0
+    assert hist.get("Deconvolution", 0) == 0
+    for tap in ("flow0", "flow1", "flow2", "flow3", "out0"):
+        assert tap in g2.producer
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    ins = {
+        "in0": jnp.asarray(rng.random((1, 64, 96, 3), np.float32)),
+        "in1": jnp.asarray(rng.random((1, 64, 96, 3), np.float32)),
+        "in2": jnp.full((1, 64, 96, 1), 0.5, jnp.float32),
+    }
+    outs = ["flow3", "out0"]
+    ref_ex = Executor(g, jax_ops.OP_TABLE, w,
+                      ctx={"w": jax_ops.prepare_weights(g, w)})
+    fus_ex = Executor(g2, jax_ops.OP_TABLE, w,
+                      ctx={"w": jax_ops.prepare_weights(g2, w)})
+    for a, b in zip(ref_ex.run(ins, outs), fus_ex.run(ins, outs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fuse_pixelshuffle_fires_on_v1_convs():
+    """The v1-family Convolution(3x3) -> PixelShuffle(2) tails fuse into
+    rife.ConvPS (/root/reference/models/rife/flownet.param:77-78)."""
+    from rife_tpu.graph.rewrite import fuse_pixelshuffle_into_convs
+
+    g = parse_param("/root/reference/models/rife/flownet.param")
+    n_ps = g.type_histogram().get("PixelShuffle", 0)
+    assert n_ps > 0
+    g2 = fuse_pixelshuffle_into_convs(g)
+    hist = g2.type_histogram()
+    assert hist.get("rife.ConvPS", 0) == n_ps
+    assert hist.get("PixelShuffle", 0) == 0
+
+
+def test_fuse_pixelshuffle_planar_matches_nhwc_v46():
+    """The planar table's permuted-weight DeconvPS matches the NHWC compose
+    bit-for-bit through the real v4.6 flownet graph."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rife_tpu.graph.executor import Executor, PlanarExecutor
+    from rife_tpu.graph.rewrite import fuse_pixelshuffle_into_convs
+    from rife_tpu.models.zoo import load_model
+    from rife_tpu.ops.planar_ops import OP_TABLE_PLANAR
+
+    net = load_model("rife-v4.6").nets["flownet"]
+    g2 = fuse_pixelshuffle_into_convs(net.graph)
+    w = net.weights
+    prepared = jax_ops.prepare_weights(g2, w)
+    rng = np.random.default_rng(7)
+    ins = {
+        "in0": jnp.asarray(rng.random((1, 32, 64, 3), np.float32)),
+        "in1": jnp.asarray(rng.random((1, 32, 64, 3), np.float32)),
+        "in2": jnp.full((1, 32, 64, 1), 0.5, jnp.float32),
+    }
+    outs = ["flow3", "out0"]
+    ref = Executor(g2, jax_ops.OP_TABLE, w, ctx={"w": prepared}).run(
+        ins, outs)
+    pl = PlanarExecutor(
+        g2, OP_TABLE_PLANAR, w,
+        ctx={"w": prepared, "use_pallas_warp": True, "planar_all": True},
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = pl.run(ins, outs)
+    for name, a, b in zip(outs, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, err_msg=name)

@@ -20,15 +20,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 MODES = [
     ("nhwc", {"RIFE_TPU_LAYOUT": "nhwc"}),
-    ("region+conv+deconv", {
+    ("region+conv+deconv+fusedPS", {
         "RIFE_TPU_LAYOUT": "region",
         "RIFE_TPU_LAYOUT_CONV": "1",
         "RIFE_TPU_LAYOUT_DECONV": "1",
+        "RIFE_TPU_FUSE_PS": "1",
     }),
-    ("region+conv+deconv, ps=nhwc", {
+    ("region+conv+deconv, no PS fusion, ps=nhwc (round-3 pre-fusion best)", {
         "RIFE_TPU_LAYOUT": "region",
         "RIFE_TPU_LAYOUT_CONV": "1",
         "RIFE_TPU_LAYOUT_DECONV": "1",
+        "RIFE_TPU_FUSE_PS": "0",
         "RIFE_TPU_LAYOUT_PS": "0",
     }),
 ]
