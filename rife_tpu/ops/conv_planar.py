@@ -306,6 +306,16 @@ def _conv_planar_s1_direct(x, wmat, bias, *, act, alpha, out_h, out_w,
     """x (B, H, Cin, W) BHCW -> (B, out_h, Cout, out_w); 3x3 s1 p1, zero
     host prolog."""
     b, h, cin, w = x.shape
+    # Mosaic requires HBM DMA slices to be lane-aligned on the minor dim:
+    # a W that is not a multiple of 128 (e.g. 960 at half-res 1080p) makes
+    # the kernel's full-width row copy an unaligned slice of the padded
+    # memref.  Pad W up front (a minor-dim zero append — the band margins
+    # are zero anyway); full-res 1920 is already aligned and pays nothing.
+    wal = _round_up(w, LANE)
+    cal = _round_up(cin, TH)
+    if wal != w or cal != cin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cal - cin), (0, wal - w)))
+        w, cin = wal, cal
     cout = wmat.shape[1]
     cp8 = wmat.shape[2]
     wo_pad = _round_up(out_w, LANE)
@@ -469,6 +479,17 @@ def _conv_planar_s2_direct_cat(parts, wmat, bias, *, act, alpha,
     the conv input (the concat never materializes; each part DMAs into its
     own 8-aligned band slot).  ``wmat`` from :func:`pack_weights_cat`."""
     b, h, _, w = parts[0].shape
+    # lane-align W and sublane-align each part's channels for the in-kernel
+    # HBM DMAs (see _conv_planar_s1_direct): the padded channels land in the
+    # band slot's zero tail (weights there are zero, pack_weights_cat)
+    wal = _round_up(w, LANE)
+    if wal != w or any(p.shape[2] % TH for p in parts):
+        parts = tuple(
+            jnp.pad(p, ((0, 0), (0, 0),
+                        (0, _round_up(p.shape[2], TH) - p.shape[2]),
+                        (0, wal - w))) for p in parts
+        )
+        w = wal
     cout = wmat.shape[1]
     cp8 = wmat.shape[2]
     part_channels = tuple(p.shape[2] for p in parts)
