@@ -116,8 +116,22 @@ def _v1v2_render(nets, cfg, W, img0, img1, flow, flow_rev):
     v2 = cfg.family == "v2"
     f0_in = flow[..., 0:2] if v2 else flow
     f1_in = flow[..., 2:4] if v2 else flow
-    ctx0 = _run_contextnet(nets["contextnet"], cfg, W, img0, f0_in, 0, v2)
-    ctx1 = _run_contextnet(nets["contextnet"], cfg, W, img1, f1_in, 1, v2)
+    if v2:
+        # both v2 context extractions feed the SAME input slot (flow.0) and
+        # traverse the identical subgraph, so they ride one batched run —
+        # half the kernel launches, per-sample math unchanged
+        # (/root/reference/src/rife.cpp:1018-1060 runs them sequentially)
+        b = img0.shape[0]
+        ctx_b = _run_contextnet(
+            nets["contextnet"], cfg, W,
+            jnp.concatenate([img0, img1], axis=0),
+            jnp.concatenate([f0_in, f1_in], axis=0), 0, v2,
+        )
+        ctx0 = [f[:b] for f in ctx_b]
+        ctx1 = [f[b:] for f in ctx_b]
+    else:
+        ctx0 = _run_contextnet(nets["contextnet"], cfg, W, img0, f0_in, 0, v2)
+        ctx1 = _run_contextnet(nets["contextnet"], cfg, W, img1, f1_in, 1, v2)
     out = _run_fusionnet(nets["fusionnet"], cfg, W, img0, img1, flow, ctx0, ctx1)
     if cfg.tta_temporal_mode:
         out_rev = _run_fusionnet(
