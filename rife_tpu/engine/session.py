@@ -149,10 +149,18 @@ class RIFE:
             graph = net.graph
             net_weights = net.weights
             if fuse_ds:
-                # exact rewrite: warp-then-quarter-downscale pairs become
-                # compacted tap-grid warps (graph/rewrite.py)
+                # exact rewrite: warp-then-downscale pairs become fused
+                # warp nodes (1/4: compacted tap grid; 1/2: phase-
+                # accumulated half-res output — graph/rewrite.py)
+                # fuse_half default OFF: the 4-phase ds2 kernel is bit-exact
+                # but ~5x slower than warp+resize (253 vs 52 ms standalone,
+                # block2 135 -> 525 ms in-program at B=24) — the phase
+                # decomposition halves the one-hot gather density in both
+                # axes.  Kept behind the flag as a measured dead end.
                 graph = fuse_quarter_downscaled_warps(
-                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                    graph, frozenset(_EXTRACTABLE.get(name, ())),
+                    fuse_half=os.environ.get(
+                        "RIFE_TPU_FUSE_DS2", "0") != "0",
                 )
             if fuse_prelu:
                 # fold standalone PReLU nodes into their conv (one fused

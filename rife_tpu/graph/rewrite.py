@@ -17,7 +17,10 @@ the warped pixels are never used, and the used ones are needed only in
       (bilinear resize is channelwise, so this is exact) — this exposes
       per-input Interp(Warp) pairs;
 * R2  ``Interp(1/4, bilinear)(rife.Warp(img, flow))`` -> a single
-      ``rife.WarpDs4(img, flow)`` node.
+      ``rife.WarpDs4(img, flow)`` node; ``Interp(1/2, ...)`` pairs ->
+      ``rife.WarpDs2`` (every warped pixel is still gathered, but the
+      Pallas kernel accumulates the four 2x2 phases straight into the
+      half-res output — no full-res HBM tensor, no separate resize).
 
 ``rife.WarpDs4`` (ops.jax_ops._op_warp_ds4) evaluates the warp only on the
 compacted half-resolution tap grid rows/cols {4i+1, 4i+2} (passing the
@@ -253,7 +256,8 @@ def fuse_pixelshuffle_into_convs(
 
 
 def fuse_quarter_downscaled_warps(
-    graph: Graph, protected: frozenset = frozenset()
+    graph: Graph, protected: frozenset = frozenset(),
+    fuse_half: bool = True,
 ) -> Graph:
     """Apply R1 + R2 until fixpoint.  Returns a new Graph (shares nodes that
     were not rewritten); no weighted layer is added or removed.
@@ -316,15 +320,17 @@ def fuse_quarter_downscaled_warps(
                 n_rewrites += 1
                 changed = True
                 break
-            if (scale == 0.25 and p.type == "rife.Warp"
-                    and len(p.bottoms) == 2):
-                # R2: fuse into the compacted tap-grid warp (only the 1/4
-                # downscale skips pixels; 1/2 reads every warped pixel, so
-                # those pairs stay as warp + exact phase-decomposed resize
-                # on the warp's own narrow plane — R1 has already kept the
-                # wide full-res concat from materializing)
+            if (p.type == "rife.Warp" and len(p.bottoms) == 2
+                    and (scale == 0.25 or (scale == 0.5 and fuse_half))):
+                # R2: 1/4 -> compacted tap-grid warp (rife.WarpDs4 — the
+                # downsample reads only rows/cols {4i+1,4i+2}, so half the
+                # gathers disappear); 1/2 -> phase-accumulated warp
+                # (rife.WarpDs2 — every pixel is read, but the full-res
+                # warped tensor never materializes in HBM and the separate
+                # resize pass disappears)
+                ttype = "rife.WarpDs4" if scale == 0.25 else "rife.WarpDs2"
                 nodes[i] = LayerNode(
-                    "rife.WarpDs4", f"{node.name}__fused",
+                    ttype, f"{node.name}__fused",
                     list(p.bottoms), list(node.tops), {},
                 )
                 n_rewrites += 1

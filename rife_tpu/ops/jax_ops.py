@@ -621,6 +621,37 @@ def _op_warp_ds4(node, inputs, w, ctx):
     return [_downsample_axis(_downsample_axis(y, 2, 1), 2, 2)]
 
 
+def _op_warp_ds2(node, inputs, w, ctx):
+    """Fused ``Interp(1/2, bilinear) ∘ rife.Warp`` (graph/rewrite.py R2).
+
+    Unlike the 1/4 case no warped pixel is dead — the 1/2 downsample
+    averages every 2x2 block — so the gather work is unchanged; the win is
+    structural: the Pallas ds2 kernel accumulates the four phase warps
+    directly into the half-res output stripe, so the full-res warped tensor
+    never reaches HBM and the separate resize pass disappears (the v4.6
+    warp_2/warp_3 -> cat_7 -> upsample_15 pairs,
+    /root/reference/models/rife-v4.6/flownet.param:110-114).  Bit-exact vs
+    warp-then-``resize2d``: the kernel epilogue replays the unfused
+    rounding (per-phase storage-dtype cast, then h/w 0.5-lerps in that
+    dtype)."""
+    image, flow = inputs[0], inputs[1]
+    h, wid = image.shape[1], image.shape[2]
+    if not (h % 2 or wid % 2) and ctx.get("use_pallas_warp"):
+        u8 = (
+            not ctx.get("no_u8_warp")
+            and image.shape[-1] <= 4
+            and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+        )
+        if u8:
+            from .warp_pallas import warp_ds2_pallas
+
+            _warp_debug(node, "pallas_ds2", image, ctx, u8=True)
+            return [warp_ds2_pallas(image, flow)]
+    # exact unfused composition (non-u8 images, odd sizes, XLA backend)
+    y = _op_warp(node, inputs, w, ctx)[0]
+    return [resize2d(y, int(round(h * 0.5)), int(round(wid * 0.5)))]
+
+
 def _op_warp(node, inputs, w, ctx):
     image, flow = inputs[0], inputs[1]
     if ctx.get("use_pallas_warp"):
@@ -682,6 +713,7 @@ OP_TABLE = {
     "rife.DeconvPS": _op_conv_ps,
     "rife.Warp": _op_warp,
     "rife.WarpDs4": _op_warp_ds4,
+    "rife.WarpDs2": _op_warp_ds2,
 }
 
 

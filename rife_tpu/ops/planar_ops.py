@@ -382,6 +382,21 @@ def _op_warp_ds4_planar(node, inputs, w, ctx):
     return [J._downsample_axis(J._downsample_axis(y, 2, 1), 2, 3)]
 
 
+def _op_warp_ds2_planar(node, inputs, w, ctx):
+    """rife.WarpDs2 on BHCW (fused warp + exact 1/2 downscale; see
+    jax_ops._op_warp_ds2 for the phase decomposition)."""
+    image, flow = inputs[0], inputs[1]
+    h, wid = image.shape[1], image.shape[3]
+    if not (h % 2 or wid % 2) and ctx.get("use_pallas_warp"):
+        if _warp_u8_eligible(node, image, ctx):
+            from .warp_pallas import warp_ds2_pallas
+
+            J._warp_debug(node, "pallas_ds2_planar", image, ctx, u8=True)
+            return [warp_ds2_pallas(image, flow, planar=True)]
+    y = _op_warp_planar(node, inputs, w, ctx)[0]
+    return [resize2d_bhcw(y, int(round(h * 0.5)), int(round(wid * 0.5)))]
+
+
 OP_TABLE_PLANAR = {
     "Convolution": _op_convolution,
     "ConvolutionCat": _op_convolution_cat,
@@ -405,4 +420,5 @@ OP_TABLE_PLANAR = {
     "rife.DeconvPS": _op_conv_ps,
     "rife.Warp": _op_warp_planar,
     "rife.WarpDs4": _op_warp_ds4_planar,
+    "rife.WarpDs2": _op_warp_ds2_planar,
 }

@@ -1135,6 +1135,255 @@ def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
 
 
+def _warp_kernel_u8_slab_ds2(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                             o0_ref, o1_ref, o2_ref,
+                             slab, acc, sem, *,
+                             nt_w: int, h_max: int, w_max: int):
+    """Fused ``Interp(1/2, bilinear) ∘ rife.Warp`` slab kernel (u8-quad).
+
+    The half-pixel bilinear 1/2 downsample reads EVERY warped pixel
+    (out[m,n] = the 0.5/0.5 average chain over the 2x2 block
+    {2m,2m+1}x{2n,2n+1}), so unlike WarpDs4 no gather is skipped — the win
+    is structural: the full-res warped tensor never exists.  Output pixel
+    (m,n) decomposes into four PHASES p=(pi,pj); phase p's contribution is
+    a plain warp evaluated at the full-res sample positions of pixel
+    (2m+pi, 2n+pj), which lives at HALF-RES output coordinates — so each
+    phase is an independent abs-pos warp onto the same (TH, LANE) output
+    stripe and no strided/deinterleaving writes are needed.  Per
+    (band, window) the kernel runs the tall slab gather once per phase into
+    per-phase accumulators; the epilogue then replays the EXACT unfused
+    arithmetic — per-phase ``(acc/255).astype(dtype)`` rounding, then the
+    h-axis 0.5/0.5 lerp, then the w-axis one, all in the storage dtype —
+    so the result is bit-identical to warp-then-``resize2d`` while writing
+    1/4 the output bytes and skipping the separate resize pass
+    (/root/reference/models/rife-v4.6/flownet.param warp_2/warp_3 ->
+    cat_7 -> upsample_15 is the motivating pair; the reference warps at
+    full res because its GPU gather is free, src/rife.cpp:381-1212)."""
+    acc[...] = jnp.zeros(acc.shape, jnp.float32)
+
+    # per-window iteration ranges: union over the 4 phases (their positions
+    # differ by at most one source pixel, so the union is tight)
+    ranges = []
+    for lo in range(nt_w):
+        sl = pl.ds(lo * LANE, LANE)
+        y0 = y0_ref[0, :, :, sl]  # (4, TH, LANE)
+        x0 = x0_ref[0, :, :, sl]
+        ranges.append((
+            jnp.min(y0) // TH,
+            jnp.max(jnp.minimum(y0 + 1, h_max)) // TH,
+            jnp.min(x0) // LANE,
+            jnp.max(jnp.minimum(x0 + 1, w_max)) // LANE,
+        ))
+
+    band_lo = jnp.min(y0_ref[0]) // TH
+    band_hi = jnp.max(jnp.minimum(y0_ref[0] + 1, h_max)) // TH
+
+    def unpack3(g):
+        c0 = (g & 0xFF).astype(jnp.float32)
+        c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        return c0, c1, c2
+
+    def tall(v):  # (TH, LANE) -> (TH*TH, LANE): same window data per block
+        return jnp.broadcast_to(v[None], (TH, TH, LANE)).reshape(
+            TH * TH, LANE)
+
+    # block k of the tall layout handles source row band*TH + k
+    k_of = lax.broadcasted_iota(jnp.int32, (TH * TH, LANE), 0) // TH
+
+    def band_body(band, carry):
+        cp = pltpu.make_async_copy(
+            img_hbm.at[
+                pl.program_id(0),
+                pl.ds(pl.multiple_of(band * TH, TH), TH),
+                :,
+            ],
+            slab,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        r_tall = band * TH + k_of
+
+        for lo in range(nt_w):
+            blo, bhi, t_lo, t_hi = ranges[lo]
+
+            @pl.when((band >= blo) & (band <= bhi))
+            def _(lo=lo, t_lo=t_lo, t_hi=t_hi):
+                sl = pl.ds(lo * LANE, LANE)
+                # one tall-gather pass per phase: phases share the slab DMA
+                # and the window's range scan, and only one phase's
+                # mask/weight arrays are live at a time (vreg pressure)
+                for p in range(4):
+                    y0 = y0_ref[0, p, :, sl]
+                    x0 = x0_ref[0, p, :, sl]
+                    y1 = jnp.minimum(y0 + 1, h_max)
+                    x1 = jnp.minimum(x0 + 1, w_max)
+                    alpha = a_ref[0, p, :, sl]
+                    beta = b_ref[0, p, :, sl]
+                    w00t = tall((1.0 - alpha) * (1.0 - beta))
+                    w01t = tall(alpha * (1.0 - beta))
+                    w10t = tall((1.0 - alpha) * beta)
+                    w11t = tall(alpha * beta)
+                    m0 = (tall(y0) == r_tall)
+                    m1 = (tall(y1) == r_tall)
+                    zero = jnp.zeros_like(w00t)
+
+                    def tile_body(t, accs, x0=x0, x1=x1, m0=m0, m1=m1,
+                                  w00t=w00t, w01t=w01t, w10t=w10t,
+                                  w11t=w11t, zero=zero):
+                        a0v, a1v, a2v = accs
+                        chunk = slab[:, pl.ds(t * LANE, LANE)]
+                        tile64 = jnp.broadcast_to(
+                            chunk[:, None, :], (TH, TH, LANE)
+                        ).reshape(TH * TH, LANE)
+                        lx0 = x0 - t * LANE
+                        lx1 = x1 - t * LANE
+                        ok0 = tall((lx0 >= 0) & (lx0 < LANE))
+                        ok1 = tall((lx1 >= 0) & (lx1 < LANE))
+                        idx0 = tall(jnp.clip(lx0, 0, LANE - 1))
+                        idx1 = tall(jnp.clip(lx1, 0, LANE - 1))
+                        g0 = jnp.take_along_axis(tile64, idx0, axis=1)
+                        g1 = jnp.take_along_axis(tile64, idx1, axis=1)
+                        wg0 = (
+                            jnp.where(m0 & ok0, w00t, zero)
+                            + jnp.where(m1 & ok0, w10t, zero)
+                        )
+                        wg1 = (
+                            jnp.where(m0 & ok1, w01t, zero)
+                            + jnp.where(m1 & ok1, w11t, zero)
+                        )
+                        r0, g0c, b0c = unpack3(g0)
+                        r1, g1c, b1c = unpack3(g1)
+                        c0 = (r0 * wg0 + r1 * wg1).reshape(TH, TH, LANE)
+                        c1 = (g0c * wg0 + g1c * wg1).reshape(TH, TH, LANE)
+                        c2 = (b0c * wg0 + b1c * wg1).reshape(TH, TH, LANE)
+                        return (a0v + c0.sum(0), a1v + c1.sum(0),
+                                a2v + c2.sum(0))
+
+                    a0v, a1v, a2v = lax.fori_loop(
+                        t_lo, t_hi + 1, tile_body,
+                        (acc[p, 0, :, sl], acc[p, 1, :, sl],
+                         acc[p, 2, :, sl]),
+                    )
+                    acc[p, 0, :, sl] = a0v
+                    acc[p, 1, :, sl] = a1v
+                    acc[p, 2, :, sl] = a2v
+
+        return carry
+
+    lax.fori_loop(band_lo, band_hi + 1, band_body, 0)
+
+    # exact unfused epilogue: round each phase to the storage dtype first
+    # (the standalone warp writes (acc/255).astype(dtype)), then the
+    # h-then-w 0.5/0.5 lerps in that dtype (resize2d's _downsample_axis)
+    scale = jnp.float32(1.0 / 255.0)
+    half = jnp.asarray(0.5, o0_ref.dtype)
+    for ci, o_ref in enumerate((o0_ref, o1_ref, o2_ref)):
+        v = [(acc[p, ci] * scale).astype(o_ref.dtype) for p in range(4)]
+        u0 = v[0] * half + v[2] * half   # row-phase average, col phase 0
+        u1 = v[1] * half + v[3] * half   # row-phase average, col phase 1
+        o_ref[0] = u0 * half + u1 * half
+
+
+def _warp_pallas_u8_ds2_impl(image, flow, *, planar: bool = False):
+    """Host driver for the fused warp+1/2-downsample u8 kernel.
+
+    ``image``: (B,H,W,C<=4) NHWC or (B,H,C,W) planar, u8-origin values;
+    ``flow``: full-resolution flow on the SOURCE grid.  Output is the
+    half-resolution warped-then-downscaled frame, bit-identical to
+    ``warp_pallas(...)`` followed by ``resize2d(y, H/2, W/2)``."""
+    if planar:
+        b, h, c, w = image.shape  # BHCW
+    else:
+        b, h, w, c = image.shape
+    out_dtype = image.dtype
+    assert h % 2 == 0 and w % 2 == 0, "caller guards odd sizes"
+    ho, wo = h // 2, w // 2
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)        # source staging
+    hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)  # output grid
+    nt_w = wp_o // LANE
+
+    # u8-quad word packing, identical to _warp_pallas_u8_impl_any
+    def _chan_u8(i):
+        plane = image[:, :, i, :] if planar else image[..., i]
+        return jnp.round(
+            jnp.clip(plane.astype(jnp.float32), 0.0, 1.0) * 255.0
+        ).astype(jnp.int32)
+
+    words = _chan_u8(0)
+    for ci in range(1, c):
+        words = words | (_chan_u8(ci) << (8 * ci))  # (B,H,W)
+    words = jnp.pad(
+        words, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=0
+    )
+
+    # full-res sample positions, then phase-deinterleaved to the output
+    # grid: phase p = 2*pi + pj holds the positions of full-res pixels
+    # (2m+pi, 2n+pj) at half-res coordinates (m, n)
+    fx, fy = _flow_xy(flow, planar)
+    gy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = gx[None] + fx
+    sy = gy[None] + fy
+
+    def phases(v):  # (B,H,W) -> (B,4,Ho,Wo)
+        return jnp.stack(
+            [v[:, pi::2, pj::2] for pi in (0, 1) for pj in (0, 1)], axis=1
+        )
+
+    sx4, sy4 = phases(sx), phases(sy)
+    x0 = jnp.clip(jnp.floor(sx4).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(sy4).astype(jnp.int32), 0, h - 1)
+    alpha = jnp.clip(sx4 - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy4 - y0.astype(jnp.float32), 0.0, 1.0)
+
+    # EDGE-pad (see the sibling drivers: zero padding poisons the padded
+    # columns' dynamic ranges; padded outputs are cropped)
+    def pad_edge4(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, hp_o - ho), (0, wp_o - wo)), mode="edge"
+        )
+
+    operands = [pad_edge4(v) for v in (y0, x0, alpha, beta)]
+
+    grid = (b, hp_o // TH)
+    img_spec = pl.BlockSpec(memory_space=pl.ANY)
+    idx_spec = pl.BlockSpec(
+        (1, 4, TH, wp_o), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _warp_kernel_u8_slab_ds2, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        ),
+        grid=grid,
+        in_specs=[img_spec] + [idx_spec] * 4,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((TH, wp), jnp.int32),          # source slab
+            pltpu.VMEM((4, 3, TH, wp_o), jnp.float32),  # per-phase accs
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(words, *operands)
+
+    if planar:
+        return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
+    return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
+
+
+@functools.partial(jax.jit, static_argnames=("planar",))
+def warp_ds2_pallas(image, flow, planar: bool = False):
+    """Fused backward warp + exact half-pixel bilinear 1/2 downsample for
+    u8-origin images (B,H,W,C<=4) x (B,H,W,2) -> (B,H/2,W/2,C); bit-exact
+    vs ``warp_pallas`` + ``resize2d`` (see _warp_kernel_u8_slab_ds2)."""
+    return _warp_pallas_u8_ds2_impl(image, flow, planar=planar)
+
+
 def _warp_kernel_u8_sdelta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
                            dlo_ref, dhi_ref, tlo_ref, thi_ref,
                            o0_ref, o1_ref, o2_ref,

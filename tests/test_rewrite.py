@@ -92,20 +92,48 @@ def test_v46_flownet_rewrite_bit_exact_end_to_end():
 def test_rewrite_distributes_half_downscale():
     """R1 also distributes block2's Interp(1/2) across its concat
     (rife-v4.6 flownet upsample_15, cat_7 at param lines 113-114): the
-    full-res 8ch concat must no longer exist; per-input Interp __part
-    nodes replace it.  No WarpDs2 node exists (1/2 reads every pixel —
-    only the concat distribution applies)."""
+    full-res 8ch concat must no longer exist.  With ``fuse_half`` (the
+    default) the two warp parts then fuse into rife.WarpDs2 nodes; the
+    timestep/mask parts stay as Interp __part nodes."""
     g = parse_param(V46)
     g2 = fuse_quarter_downscaled_warps(g)
     names = {n.name for n in g2.nodes}
     # the v4.6 block2 downscale node is replaced by per-input parts + cat
     assert "upsample_15" not in names
     parts = [n for n in g2.nodes if n.name.startswith("upsample_15__part")]
-    assert len(parts) == 4  # warped0, warped1, timestep, mask
-    assert all(n.type == "Interp" for n in parts)
+    assert len(parts) == 4
+    # timestep/mask parts stay Interp; the warp parts became WarpDs2
+    assert sorted(n.type for n in parts) == [
+        "Interp", "Interp", "rife.WarpDs2", "rife.WarpDs2"
+    ]
     assert any(n.name == "upsample_15__cat" for n in g2.nodes)
     # the original full-res concat (cat_7) is gone
     assert "cat_7" not in names
+    assert g2.type_histogram().get("rife.WarpDs2", 0) == 2
+    # opting out of the half fusion restores warp + per-part Interp
+    g3 = fuse_quarter_downscaled_warps(g, fuse_half=False)
+    assert "rife.WarpDs2" not in g3.type_histogram()
+    parts3 = [n for n in g3.nodes if n.name.startswith("upsample_15__part")]
+    assert all(n.type == "Interp" for n in parts3)
+
+
+def test_warp_ds2_op_bit_exact_vs_unfused():
+    """The WarpDs2 op's XLA fallback is the literal unfused composition;
+    this pins the half-res output size and exactness."""
+    img = RNG.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32)
+    flow = (RNG.normal(size=(2, 8, 16, 2)) * 5).astype(np.float32)
+    flow = np.asarray(
+        jax_ops.resize2d(jnp.asarray(flow), 32, 64), np.float32
+    )
+    node = LayerNode("rife.WarpDs2", "t", ["a", "b"], ["o"], {})
+    fused = jax_ops._op_warp_ds2(
+        node, [jnp.asarray(img), jnp.asarray(flow)], None, {}
+    )[0]
+    ref = jax_ops.resize2d(
+        jax_ops.warp(jnp.asarray(img), jnp.asarray(flow)), 16, 32
+    )
+    assert fused.shape == (2, 16, 32, 3)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
 
 
 def test_fuse_prelu_activations_v23():

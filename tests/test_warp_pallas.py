@@ -246,3 +246,49 @@ def test_warp_pallas_planar_matches_nhwc(u8, c):
             np.float32,
         ).transpose(0, 1, 3, 2)
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("planar", [False, True])
+def test_warp_ds2_pallas_bit_exact_vs_composed(planar):
+    """The fused warp+1/2-downsample kernel must be BIT-identical to the
+    unfused composition (warp_pallas then the h/w 0.5-lerp chain) in the
+    storage dtype — the kernel epilogue replays the unfused rounding."""
+    from rife_tpu.ops import jax_ops
+    from rife_tpu.ops.warp_pallas import warp_ds2_pallas
+
+    u8 = RNG.integers(0, 256, (2, 16, 256, 3)).astype(np.uint8)
+    img = jnp.asarray(u8.astype(np.float32) / 255.0).astype(jnp.bfloat16)
+    flow = jnp.asarray((RNG.normal(size=(2, 16, 256, 2)) * 6).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        full = warp_pallas(img, flow, u8_origin=True, u8_variant="slab")
+    ref = jax_ops.resize2d(full, 8, 128)
+    if planar:
+        img_p = img.transpose(0, 1, 3, 2)       # BHCW
+        flow_p = flow.transpose(0, 1, 3, 2)
+        with pltpu.force_tpu_interpret_mode():
+            got = warp_ds2_pallas(img_p, flow_p, planar=True)
+        assert got.shape == (2, 8, 3, 128)
+        got = got.transpose(0, 1, 3, 2)
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            got = warp_ds2_pallas(img, flow)
+        assert got.shape == (2, 8, 128, 3)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_warp_ds2_pallas_matches_oracle_f32():
+    """f32 end check vs the NumPy shader oracle + exact half-pixel 1/2
+    downsample (rows then cols, 0.5/0.5 taps)."""
+    from rife_tpu.ops.warp_pallas import warp_ds2_pallas
+
+    u8 = RNG.integers(0, 256, (1, 16, 128, 3)).astype(np.uint8)
+    img = u8.astype(np.float32) / 255.0
+    flow = (RNG.normal(size=(1, 16, 128, 2)) * 60).astype(np.float32)  # clamps
+    full = numpy_ref.warp(img, flow)
+    ref = full[:, 0::2] * 0.5 + full[:, 1::2] * 0.5
+    ref = ref[:, :, 0::2] * 0.5 + ref[:, :, 1::2] * 0.5
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(warp_ds2_pallas(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
