@@ -240,7 +240,11 @@ def forward_v4(nets, cfg: PipelineConfig, W, in0_u8, in1_u8, timestep, pad_h, pa
     t = frame.timestep_plane(timestep, b, pad_h, pad_w, cfg.jdtype)
 
     if not cfg.tta_mode and not cfg.tta_temporal_mode:
-        planar = getattr(ex, "planar_capable", False)
+        # plane-form out0 (ctx['planar_outputs']) whenever the executor can
+        # honor it: region/planar executors natively, the flat executor via
+        # the fused render node (graph/rewrite.py fuse_render_blend)
+        planar = (getattr(ex, "planar_capable", False)
+                  or getattr(ex, "render_planar", False))
         out = _v4_out(ex, cfg, W, img0, img1, t, {}, planar_out=planar)
         if planar:
             return frame.postprocess_planar(out, h, w)

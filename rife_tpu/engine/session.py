@@ -28,6 +28,7 @@ from ..graph.rewrite import (
     fuse_pixelshuffle_into_convs,
     fuse_prelu_activations,
     fuse_quarter_downscaled_warps,
+    fuse_render_blend,
 )
 from ..models.zoo import LoadedModel, load_model
 from ..ops import jax_ops
@@ -183,6 +184,13 @@ class RIFE:
                 graph = fuse_pixelshuffle_into_convs(
                     graph, frozenset(_EXTRACTABLE.get(name, ()))
                 )
+            if os.environ.get("RIFE_TPU_FUSE_RENDER", "1") != "0":
+                # fuse the final warp-pair + mask blend into one node so the
+                # render runs on per-channel planes end-to-end (no C=3
+                # full-res lane-padded NHWC tensor; graph/rewrite.py)
+                graph = fuse_render_blend(
+                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                )
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
             ctx = {
                 "use_pallas_warp": use_pallas,
@@ -228,6 +236,12 @@ class RIFE:
                 self.executors[name] = Executor(
                     graph, jax_ops.OP_TABLE, net_weights, ctx=ctx
                 )
+            # fused render present -> pipelines may request plane-form out0
+            # and finish with frame.postprocess_planar (the op honors
+            # ctx['planar_outputs'] on every path, Pallas or fallback)
+            self.executors[name].render_planar = any(
+                n.type == "rife.RenderBlend" for n in graph.nodes
+            )
             weights[name] = jax_ops.prepare_weights(graph, net_weights, wdtype)
         self.weights = jax.device_put(weights, self.device)
         self._step_cache: Dict[Tuple, callable] = {}

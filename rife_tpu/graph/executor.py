@@ -208,10 +208,16 @@ class PlanarExecutor(Executor):
     TPU, XLA lane-pads feature-minor narrow-channel tensors to 128 — the
     planar table keeps W on lanes and routes narrow convs to the Pallas
     planar kernel, whose native layout is BHCW (see ops/planar_ops.py,
-    ops/conv_planar.py).
+    ops/conv_planar.py).  Blobs named in ``ctx['planar_outputs']`` skip the
+    exit conversion and come back as planes (the v4 render path hands them
+    straight to frame.postprocess_planar).
     """
 
+    planar_capable = True  # callers may request planar outputs
+
     def run(self, inputs, outputs, ctx=None):
+        merged = {**self.ctx, **ctx} if ctx else self.ctx
+        planar_out = merged.get("planar_outputs") or ()
         pin = {
             k: (v.transpose(0, 1, 3, 2) if getattr(v, "ndim", 0) == 4
                 else v)
@@ -219,6 +225,7 @@ class PlanarExecutor(Executor):
         }
         outs = super().run(pin, outputs, ctx)
         return [
-            o.transpose(0, 1, 3, 2) if getattr(o, "ndim", 0) == 4 else o
-            for o in outs
+            o.transpose(0, 1, 3, 2)
+            if getattr(o, "ndim", 0) == 4 and b not in planar_out else o
+            for b, o in zip(outputs, outs)
         ]

@@ -172,7 +172,8 @@ def plan_layouts(
                          "rife.ConvPS", "rife.DeconvPS"):
             layout[i] = _conv_constraint(node, shapes, ctx)
             continue
-        if node.type in ("rife.Warp", "rife.WarpDs4"):
+        if node.type in ("rife.Warp", "rife.WarpDs4", "rife.WarpDs2",
+                         "rife.RenderBlend"):
             req = _warp_constraint(node, shapes, ctx)
             if req is not None:
                 layout[i] = req

@@ -255,6 +255,116 @@ def fuse_pixelshuffle_into_convs(
     return _rebuild(nodes, list(graph.input_blobs))
 
 
+def fuse_render_blend(
+    graph: Graph, protected: frozenset = frozenset()
+) -> Graph:
+    """Fuse the final render ``warp_a*mask + warp_b*(1-mask)`` into one
+    ``rife.RenderBlend`` node.
+
+    Every v4 flownet ends with exactly this pattern
+    (/root/reference/models/rife-v4.6/flownet.param:208-217):
+
+        Sigmoid -> Split -> m, m2
+        inv   = BinaryOp(rsub, scalar 1.0)(m2)       # 1 - mask
+        w_a   = rife.Warp(img_a, flow_a)
+        w_b   = rife.Warp(img_b, flow_b)
+        out0  = w_a * m + w_b * inv
+
+    On TPU the unfused tail is the single most lane-padded stretch of the
+    graph: the two warp results, both muls and the add are C=3 tensors at
+    full resolution that XLA stores feature-minor padded to 128 lanes
+    (42x their true bytes; measured 44 ms of the 506 ms B=24 1080p step
+    beyond the warps' own cost).  The fused node blends per-channel PLANES
+    (the Pallas warp kernels produce planes natively) and hands the result
+    to ``frame.postprocess_planar``, so no lane-padded NHWC tensor ever
+    materializes on the render path.  The blend algebra (bf16 mul/add,
+    same operand order) is bit-identical — elementwise math is layout-
+    independent.
+
+    The fused node's bottoms are ``[img_a, flow_a, img_b, flow_b, mask]``
+    with semantics ``warp(img_a, flow_a)*mask + warp(img_b, flow_b)*
+    (1-mask)``.  Fires only when every intermediate blob has a single
+    consumer and none is ``protected``.
+    """
+    counts = _consumer_counts(graph.nodes)
+    producer_idx = {}
+    for idx, node in enumerate(graph.nodes):
+        for top in node.tops:
+            producer_idx[top] = idx
+
+    def single(blob):
+        return counts.get(blob, 0) == 1 and blob not in protected
+
+    def producer(blob):
+        i = producer_idx.get(blob)
+        return None if i is None else graph.nodes[i]
+
+    nodes = list(graph.nodes)
+    changed = False
+    for i, node in enumerate(nodes):
+        # out = add(mul_a, mul_b)
+        if node.type != "BinaryOp" or int(node.p(0, 0)) != 0 \
+                or int(node.p(1, 0)) == 1 or len(node.bottoms) != 2:
+            continue
+        muls = [producer(b) for b in node.bottoms]
+        if any(
+            m is None or m.type != "BinaryOp" or int(m.p(0, 0)) != 2
+            or int(m.p(1, 0)) == 1 or len(m.bottoms) != 2
+            or not single(m.tops[0])
+            for m in muls
+        ):
+            continue
+
+        def warp_and_mask(m):
+            """Split a mul's bottoms into (warp node, mask blob)."""
+            for k in (0, 1):
+                p = producer(m.bottoms[k])
+                if p is not None and p.type == "rife.Warp" \
+                        and len(p.bottoms) == 2 and single(m.bottoms[k]):
+                    return p, m.bottoms[1 - k]
+            return None, None
+
+        wa, ma = warp_and_mask(muls[0])
+        wb, mb = warp_and_mask(muls[1])
+        if wa is None or wb is None:
+            continue
+        # one mask operand must be 1-x of a sibling copy of the other
+        def inv_source(blob):
+            p = producer(blob)
+            if p is not None and p.type == "BinaryOp" \
+                    and int(p.p(0, 0)) == 7 and int(p.p(1, 0)) == 1 \
+                    and float(p.p(2, 0.0)) == 1.0 and single(blob):
+                return p.bottoms[0]
+            return None
+
+        def same_value(x, y):
+            if x == y:
+                return True
+            px, py = producer_idx.get(x), producer_idx.get(y)
+            return (px is not None and px == py
+                    and nodes[px].type == "Split")
+
+        direct, inv = (wa, ma, wb, mb), inv_source(mb)
+        if inv is None or not same_value(ma, inv):
+            inv = inv_source(ma)
+            if inv is None or not same_value(mb, inv):
+                continue
+            direct = (wb, mb, wa, ma)
+        w_m, mask, w_inv, _ = direct
+        nodes[i] = LayerNode(
+            "rife.RenderBlend", f"{node.name}__render",
+            [w_m.bottoms[0], w_m.bottoms[1],
+             w_inv.bottoms[0], w_inv.bottoms[1], mask],
+            list(node.tops), {},
+        )
+        changed = True
+        # the dead warps/muls/rsub stay in the node list: the executor's
+        # demand-driven traversal never runs them
+    if not changed:
+        return graph
+    return _rebuild(nodes, list(graph.input_blobs))
+
+
 def fuse_quarter_downscaled_warps(
     graph: Graph, protected: frozenset = frozenset(),
     fuse_half: bool = True,

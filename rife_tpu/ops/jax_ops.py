@@ -673,6 +673,77 @@ def _op_warp(node, inputs, w, ctx):
     return [warp(image, flow)]
 
 
+def _render_warp(img, fl, blob, node, ctx):
+    """One render warp: Pallas-routed exactly like _op_warp, but keyed on
+    an explicit image blob name (the fused node carries two images)."""
+    if ctx.get("use_pallas_warp"):
+        from .warp_pallas import fits_vmem, warp_pallas
+
+        u8 = (
+            not ctx.get("no_u8_warp")
+            and img.shape[-1] <= 4
+            and blob in ctx.get("u8_image_blobs", ())
+        )
+        if u8 or fits_vmem(img.shape[1], img.shape[2]):
+            variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            _warp_debug(node, "pallas_render", img, ctx, u8=u8,
+                        variant=variant)
+            return warp_pallas(img, fl, u8_origin=u8, u8_variant=variant)
+    _warp_debug(node, "xla_render", img, ctx)
+    return warp(img, fl)
+
+
+def _op_render_blend(node, inputs, w, ctx):
+    """rife.RenderBlend (graph/rewrite.py fuse_render_blend): the final
+    render — ``warp(img_m, flow_m)*mask + warp(img_inv, flow_inv)*(1-mask)``
+    — as one op.  With the Pallas u8 warp the warped images stay per-channel
+    PLANES (B,H,C,W) and the blend runs on planes, so no lane-padded C=3
+    full-res NHWC tensor ever materializes (XLA pads C to 128 lanes: the
+    unfused blend+postprocess measured ~44 ms of the 506 ms B=24 1080p
+    v4.6 step beyond the warps' own cost).  The blend algebra (same dtype,
+    same operand order) is bit-identical to the composed ops — elementwise
+    math is layout-independent.
+
+    Emits planes when the blob is listed in ctx['planar_outputs'] (the v4
+    pipeline then finishes with frame.postprocess_planar), NHWC otherwise
+    (TTA paths merge views on NHWC).
+    Reference tail: /root/reference/models/rife-v4.6/flownet.param:208-217;
+    blend shader /root/reference/src/rife.cpp render pass."""
+    img_m, flow_m, img_inv, flow_inv, mask = inputs
+    planar_out = node.tops[0] in ctx.get("planar_outputs", ())
+    u8_ok = (
+        not ctx.get("no_u8_warp")
+        and img_m.shape[-1] <= 4
+        and img_inv.shape[-1] <= 4
+        and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+        and node.bottoms[2] in ctx.get("u8_image_blobs", ())
+    )
+    if ctx.get("use_pallas_warp") and u8_ok:
+        from .warp_pallas import warp_pallas
+
+        variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+        _warp_debug(node, "pallas_render_planar", img_m, ctx, u8=True,
+                    variant=variant)
+        wm = warp_pallas(img_m, flow_m, u8_origin=True, u8_variant=variant,
+                         planar_out=True)
+        wi = warp_pallas(img_inv, flow_inv, u8_origin=True,
+                         u8_variant=variant, planar_out=True)
+        m = mask.transpose(0, 1, 3, 2)  # (B,H,W,1) -> (B,H,1,W) plane
+        one = jnp.asarray(1.0, m.dtype)
+        out = wm * m + wi * (one - m)
+        if planar_out:
+            return [out]
+        return [out.transpose(0, 1, 3, 2)]
+    # exact composed fallback (XLA warp / non-u8 images)
+    wm = _render_warp(img_m, flow_m, node.bottoms[0], node, ctx)
+    wi = _render_warp(img_inv, flow_inv, node.bottoms[2], node, ctx)
+    one = jnp.asarray(1.0, mask.dtype)
+    out = wm * mask + wi * (one - mask)
+    if planar_out:
+        return [out.transpose(0, 1, 3, 2)]
+    return [out]
+
+
 def _op_convolution_cat(node, inputs, w, ctx):
     """ConvolutionCat (graph/rewrite.py fuse_concat_into_convs): on the
     NHWC path the concat is re-materialized — identical semantics; the
@@ -714,6 +785,7 @@ OP_TABLE = {
     "rife.Warp": _op_warp,
     "rife.WarpDs4": _op_warp_ds4,
     "rife.WarpDs2": _op_warp_ds2,
+    "rife.RenderBlend": _op_render_blend,
 }
 
 

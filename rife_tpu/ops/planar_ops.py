@@ -397,6 +397,22 @@ def _op_warp_ds2_planar(node, inputs, w, ctx):
     return [resize2d_bhcw(y, int(round(h * 0.5)), int(round(wid * 0.5)))]
 
 
+def _op_render_blend_planar(node, inputs, w, ctx):
+    """rife.RenderBlend on BHCW: the inputs are already planes, so the
+    warps run planar end-to-end and the blend is plain plane math (see
+    jax_ops._op_render_blend for the fusion rationale)."""
+    img_m, flow_m, img_inv, flow_inv, mask = inputs
+    wm = _op_warp_planar(node, [img_m, flow_m], w, ctx)[0]
+    # the second image blob is node.bottoms[2]; reuse the planar warp with
+    # a shim node so the u8 check keys on the right blob
+    shim = type(node)(node.type, node.name,
+                      [node.bottoms[2], node.bottoms[3]], list(node.tops),
+                      node.params)
+    wi = _op_warp_planar(shim, [img_inv, flow_inv], w, ctx)[0]
+    one = jnp.asarray(1.0, mask.dtype)
+    return [wm * mask + wi * (one - mask)]
+
+
 OP_TABLE_PLANAR = {
     "Convolution": _op_convolution,
     "ConvolutionCat": _op_convolution_cat,
@@ -421,4 +437,5 @@ OP_TABLE_PLANAR = {
     "rife.Warp": _op_warp_planar,
     "rife.WarpDs4": _op_warp_ds4_planar,
     "rife.WarpDs2": _op_warp_ds2_planar,
+    "rife.RenderBlend": _op_render_blend_planar,
 }

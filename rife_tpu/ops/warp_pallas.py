@@ -1557,7 +1557,8 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
                              delta_mode: bool = False,
                              sdelta_mode: bool = False,
                              abs_pos: bool = False,
-                             planar: bool = False):
+                             planar: bool = False,
+                             planar_out: bool | None = None):
     """Shared host-side driver for the u8-quad variants.
 
     ``abs_pos=True``: ``flow`` carries ABSOLUTE sample positions (sx, sy)
@@ -1570,7 +1571,15 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
     ``planar=True``: image is (B,C,H,W) planes and flow (B,2,Ho,Wo); the
     result comes back as planes.  The kernels already work plane-wise, so
     this removes every layout transpose at the op boundary (region-planar
-    execution, graph/layout.py)."""
+    execution, graph/layout.py).
+
+    ``planar_out`` decouples the OUTPUT layout from the input layout
+    (default: follow ``planar``).  The fused render blend
+    (graph/rewrite.py fuse_render_blend) reads NHWC operands but blends
+    per-channel planes, so it asks for planes without paying an NHWC
+    stack first."""
+    if planar_out is None:
+        planar_out = planar
     if planar:
         b, h, c, w = image.shape  # BHCW
     else:
@@ -1691,7 +1700,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 3,
             scratch_shapes=scratch,
         )(words, *operands, *ranges)
-        if planar:
+        if planar_out:
             return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
         return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     elif slab_mode:
@@ -1741,7 +1750,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         scratch_shapes=scratch,
     )(words, *operands)
 
-    if planar:
+    if planar_out:
         return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
     out = jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     return out
@@ -1752,11 +1761,12 @@ def fits_vmem(h: int, w: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("u8_origin", "u8_variant", "abs_pos", "planar")
+    jax.jit, static_argnames=("u8_origin", "u8_variant", "abs_pos", "planar",
+                              "planar_out")
 )
 def warp_pallas(image, flow, u8_origin: bool = False,
                 u8_variant: str = "auto", abs_pos: bool = False,
-                planar: bool = False):
+                planar: bool = False, planar_out: bool | None = None):
     """Backward bilinear warp (B,H,W,C) x (B,H,W,2), shader-exact.
 
     ``planar=True``: image/flow/output are BHCW channel-slab planes —
@@ -1787,17 +1797,32 @@ def warp_pallas(image, flow, u8_origin: bool = False,
     the warp only on the Interp tap pixels.  u8-origin images take the slab
     streaming variant (staging decoupled from the output grid); bf16/f32
     take the VMEM-resident kernels, whose source staging is already
-    independent of the output windows."""
+    independent of the output windows.
+
+    ``planar_out`` (u8 path only; default follows ``planar``) requests
+    plane-form (B,Ho,C,Wo) output from NHWC operands — used by the fused
+    render blend so the result never materializes lane-padded NHWC."""
     n_chan = image.shape[2] if planar else image.shape[-1]
+
+    def _fix_out(out):
+        # bf16/f32 impls emit in the input layout; emulate planar_out by a
+        # transpose (0,1,3,2) — (B,Ho,Wo,C) <-> (B,Ho,C,Wo)
+        if planar_out is None or planar_out == planar:
+            return out
+        return out.transpose(0, 1, 3, 2)
+
     if abs_pos:
         if u8_origin and n_chan <= 4:
             return _warp_pallas_u8_impl_any(
-                image, flow, slab_mode=True, abs_pos=True, planar=planar
+                image, flow, slab_mode=True, abs_pos=True, planar=planar,
+                planar_out=planar_out,
             )
         if image.dtype == jnp.bfloat16:
-            return _warp_pallas_packed_impl(image, flow, abs_pos=True,
-                                            planar=planar)
-        return _warp_pallas_impl(image, flow, abs_pos=True, planar=planar)
+            return _fix_out(_warp_pallas_packed_impl(image, flow,
+                                                     abs_pos=True,
+                                                     planar=planar))
+        return _fix_out(_warp_pallas_impl(image, flow, abs_pos=True,
+                                          planar=planar))
     if u8_origin and n_chan <= 4:
         variant = u8_variant
         if variant == "auto":
@@ -1816,7 +1841,8 @@ def warp_pallas(image, flow, u8_origin: bool = False,
             delta_mode=variant == "delta",
             sdelta_mode=variant == "sdelta",
             planar=planar,
+            planar_out=planar_out,
         )
     if image.dtype == jnp.bfloat16:
-        return _warp_pallas_packed_impl(image, flow, planar=planar)
-    return _warp_pallas_impl(image, flow, planar=planar)
+        return _fix_out(_warp_pallas_packed_impl(image, flow, planar=planar))
+    return _fix_out(_warp_pallas_impl(image, flow, planar=planar))

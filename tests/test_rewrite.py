@@ -296,3 +296,56 @@ def test_fuse_pixelshuffle_planar_matches_nhwc_v46():
     for name, a, b in zip(outs, ref, got):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-5, err_msg=name)
+
+
+def test_fuse_render_blend_fires_and_is_exact_v46():
+    """fuse_render_blend: fires once on the v4 render tail and the fused
+    node's output is bit-identical to the composed warp/mul/add chain
+    (reference tail: models/rife-v4.6/flownet.param sigmoid_8..add_78)."""
+    from rife_tpu.graph.rewrite import fuse_render_blend
+    from rife_tpu.graph.weights import synthesize_weights
+
+    g = parse_param(V46)
+    g2 = fuse_render_blend(g)
+    hist = g2.type_histogram()
+    assert hist.get("rife.RenderBlend", 0) == 1
+    assert "rife.RenderBlend" not in g.type_histogram()
+    rb = g2.layers_of_type("rife.RenderBlend")[0]
+    assert rb.tops == ["out0"]
+    assert len(rb.bottoms) == 5
+    # the mask-direct warp comes first: its image is an in0 copy (blob 2)
+    assert rb.bottoms[0] == "2" and rb.bottoms[2] == "8"
+
+    w = synthesize_weights(g, "rife-v4.6/flownet")
+    inputs = {
+        "in0": jnp.asarray(RNG.uniform(0, 1, (1, 64, 64, 3)), jnp.float32),
+        "in1": jnp.asarray(RNG.uniform(0, 1, (1, 64, 64, 3)), jnp.float32),
+        "in2": jnp.full((1, 64, 64, 1), 0.5, jnp.float32),
+    }
+
+    def run(graph, ctx_extra=None):
+        prepared = jax_ops.prepare_weights(graph, w)
+        ctx = {"w": prepared, **(ctx_extra or {})}
+        ex = Executor(graph, jax_ops.OP_TABLE, w, ctx=ctx)
+        return np.asarray(ex.run(inputs, ["out0"])[0])
+
+    ref = run(g)
+    np.testing.assert_array_equal(run(g2), ref)
+    # planar_outputs contract: plane-form result, same numbers
+    got_planar = run(g2, {"planar_outputs": frozenset(("out0",))})
+    np.testing.assert_array_equal(got_planar.transpose(0, 1, 3, 2), ref)
+
+
+def test_fuse_render_blend_guards():
+    """No fire when an intermediate is protected or multi-consumer."""
+    from rife_tpu.graph.rewrite import fuse_render_blend
+
+    g = parse_param(V46)
+    # protecting one of the mul outputs blocks the fusion
+    muls = [n for n in g.nodes if n.type == "BinaryOp"
+            and int(n.p(0, 0)) == 2 and len(n.bottoms) == 2]
+    blocked = fuse_render_blend(g, frozenset((muls[-1].tops[0],)))
+    assert "rife.RenderBlend" not in blocked.type_histogram()
+    # a graph without the pattern is returned unchanged (same object)
+    g23 = parse_param("/root/reference/models/rife-v2.3/contextnet.param")
+    assert fuse_render_blend(g23) is g23
