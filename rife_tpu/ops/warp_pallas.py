@@ -891,17 +891,14 @@ def _warp_kernel_u8_delta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     del hp_pad
 
 
-def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
-                              o0_ref, o1_ref, o2_ref,
-                              slab, acc0, acc1, acc2, sem, *,
-                              nt_w: int, h_max: int, w_max: int):
-    """TALL form of the slab kernel: one (64, 128) gather pair per (band,
-    window, tile) — the band's 8 source rows each repeated over the 8
-    output sublanes — replaces the row loop's eight (8, 128) pairs.  Same
-    VPU work, ~8x fewer instructions (the mc-kernel tall experiment showed
-    Mosaic's per-instruction overhead is worth ~12%; here the row loop is
-    the whole inner body).  Row contributions fold back with one
-    (8,8,128)-block sum per channel."""
+def _slab_tall_body(img_hbm, y0_full, x0_full, a_full, b_full,
+                    o0_ref, o1_ref, o2_ref,
+                    slab, acc0, acc1, acc2, sem, *,
+                    nt_w: int, h_max: int, w_max: int):
+    """Shared body of the TALL slab kernel.  ``y0_full``/``x0_full`` (i32)
+    and ``a_full``/``b_full`` (f32) are per-stripe VALUES of shape
+    (TH, wp_o) — either loaded from precomputed operand refs or computed
+    in-kernel from the flow (the inflow variant)."""
     zeros_row = jnp.zeros(acc0.shape, jnp.float32)
     acc0[...] = zeros_row
     acc1[...] = zeros_row
@@ -909,9 +906,9 @@ def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 
     ranges = []
     for lo in range(nt_w):
-        sl = pl.ds(lo * LANE, LANE)
-        y0 = y0_ref[0, :, sl]
-        x0 = x0_ref[0, :, sl]
+        sl = slice(lo * LANE, (lo + 1) * LANE)
+        y0 = y0_full[:, sl]
+        x0 = x0_full[:, sl]
         ranges.append((
             jnp.min(y0) // TH,
             jnp.max(jnp.minimum(y0 + 1, h_max)) // TH,
@@ -919,8 +916,8 @@ def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
             jnp.max(jnp.minimum(x0 + 1, w_max)) // LANE,
         ))
 
-    band_lo = jnp.min(y0_ref[0]) // TH
-    band_hi = jnp.max(jnp.minimum(y0_ref[0] + 1, h_max)) // TH
+    band_lo = jnp.min(y0_full) // TH
+    band_hi = jnp.max(jnp.minimum(y0_full + 1, h_max)) // TH
 
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
@@ -954,13 +951,13 @@ def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 
             @pl.when((band >= blo) & (band <= bhi))
             def _(lo=lo, t_lo=t_lo, t_hi=t_hi):
-                sl = pl.ds(lo * LANE, LANE)
-                y0 = y0_ref[0, :, sl]
-                x0 = x0_ref[0, :, sl]
+                sl = slice(lo * LANE, (lo + 1) * LANE)
+                y0 = y0_full[:, sl]
+                x0 = x0_full[:, sl]
                 y1 = jnp.minimum(y0 + 1, h_max)
                 x1 = jnp.minimum(x0 + 1, w_max)
-                alpha = a_ref[0, :, sl]
-                beta = b_ref[0, :, sl]
+                alpha = a_full[:, sl]
+                beta = b_full[:, sl]
                 w00t = tall((1.0 - alpha) * (1.0 - beta))
                 w01t = tall(alpha * (1.0 - beta))
                 w10t = tall((1.0 - alpha) * beta)
@@ -1015,6 +1012,55 @@ def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     o0_ref[0] = (acc0[...] * scale).astype(o0_ref.dtype)
     o1_ref[0] = (acc1[...] * scale).astype(o1_ref.dtype)
     o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
+
+
+def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
+                              o0_ref, o1_ref, o2_ref,
+                              slab, acc0, acc1, acc2, sem, *,
+                              nt_w: int, h_max: int, w_max: int):
+    """TALL form of the slab kernel: one (64, 128) gather pair per (band,
+    window, tile) — the band's 8 source rows each repeated over the 8
+    output sublanes — replaces the row loop's eight (8, 128) pairs.  Same
+    VPU work, ~8x fewer instructions (the mc-kernel tall experiment showed
+    Mosaic's per-instruction overhead is worth ~12%; here the row loop is
+    the whole inner body).  Row contributions fold back with one
+    (8,8,128)-block sum per channel."""
+    _slab_tall_body(
+        img_hbm, y0_ref[0], x0_ref[0], a_ref[0], b_ref[0],
+        o0_ref, o1_ref, o2_ref, slab, acc0, acc1, acc2, sem,
+        nt_w=nt_w, h_max=h_max, w_max=w_max,
+    )
+
+
+def _warp_kernel_u8_slab_tall_flow(img_hbm, sx_ref, sy_ref,
+                                   o0_ref, o1_ref, o2_ref,
+                                   slab, acc0, acc1, acc2, sem, *,
+                                   nt_w: int, h_max: int, w_max: int):
+    """Inflow TALL slab kernel: the sample indices/weights are computed
+    IN-KERNEL from the absolute sample positions instead of being
+    materialized by the XLA driver.
+
+    Why: the driver form writes four full-resolution operands per warp
+    (y0/x0 i32 + alpha/beta f32 — ~800 MB at B=24 1080p) plus their edge
+    pads and clip/floor fusion chains; the per-op trace attributed ~45 ms
+    of the 499 ms v4.6 step to these chains and copies on top of the
+    kernels' own 250 ms.  Here the kernel receives just sx/sy (f32, one
+    fused iota+add over the flow in the driver) and derives the indices
+    with the identical f32 op sequence per stripe (same floor/clip/astype
+    — results are bit-identical; VPU cost is a few elementwise ops over
+    an (8, W) tile, noise next to the operand DMA it replaces).
+    ``w_max``/``h_max`` bound the clips exactly as the driver did."""
+    sx = sx_ref[0]
+    sy = sy_ref[0]
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w_max)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h_max)
+    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    _slab_tall_body(
+        img_hbm, y0, x0, alpha, beta,
+        o0_ref, o1_ref, o2_ref, slab, acc0, acc1, acc2, sem,
+        nt_w=nt_w, h_max=h_max, w_max=w_max,
+    )
 
 
 def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
@@ -1707,14 +1753,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         import os
 
         # tall default: 47.84 -> 48.13 fps on the v4.6 headline
-        slab_kernel = (
-            _warp_kernel_u8_slab_tall
-            if os.environ.get("RIFE_TPU_WARP_U8_TALL", "1") != "0"
-            else _warp_kernel_u8_slab
-        )
-        kernel = functools.partial(
-            slab_kernel, nt_w=nt_w, h_max=h - 1, w_max=w - 1
-        )
+        tall = os.environ.get("RIFE_TPU_WARP_U8_TALL", "1") != "0"
         scratch = [
             pltpu.VMEM((TH, wp), jnp.int32),      # slab (source rows)
             pltpu.VMEM((TH, wp_o), jnp.float32),  # acc r (output grid)
@@ -1722,6 +1761,42 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             pltpu.VMEM((TH, wp_o), jnp.float32),  # acc b
             pltpu.SemaphoreType.DMA,
         ]
+        if tall and os.environ.get("RIFE_TPU_WARP_INFLOW", "1") != "0":
+            # inflow form: hand the kernel the raw flow planes; it derives
+            # y0/x0/alpha/beta per stripe with the exact same f32 op
+            # sequence (bit-identical results).  Skips materializing +
+            # edge-padding four full-res operands per warp in HBM.
+            def padf(v):
+                return jnp.pad(
+                    v,
+                    ((0, 0), (0, hp_o - v.shape[1]),
+                     (0, wp_o - v.shape[2])),
+                    mode="edge",
+                )
+
+            kernel = functools.partial(
+                _warp_kernel_u8_slab_tall_flow, nt_w=nt_w,
+                h_max=h - 1, w_max=w - 1,
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[img_spec] + [idx_spec] * 2,
+                out_specs=[out_spec] * 3,
+                out_shape=[
+                    jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)
+                ] * 3,
+                scratch_shapes=scratch,
+            )(words, padf(sx), padf(sy))
+            if planar_out:
+                return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
+            return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
+        slab_kernel = (
+            _warp_kernel_u8_slab_tall if tall else _warp_kernel_u8_slab
+        )
+        kernel = functools.partial(
+            slab_kernel, nt_w=nt_w, h_max=h - 1, w_max=w - 1
+        )
     elif delta_mode:
         kernel = functools.partial(
             _warp_kernel_u8_delta, nt_w=nt_w, h_max=h - 1, w_max=w - 1

@@ -292,3 +292,50 @@ def test_warp_ds2_pallas_matches_oracle_f32():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(warp_ds2_pallas(jnp.asarray(img), jnp.asarray(flow)))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_slab_inflow_matches_driver_form():
+    """The inflow tall slab kernel (indices computed in-kernel from the
+    absolute sample positions) is bit-identical to the driver form that
+    materializes y0/x0/alpha/beta in HBM, in both relative-flow and
+    abs_pos modes and at lane-unaligned widths."""
+    import os
+
+    from rife_tpu.ops import warp_pallas as WP
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 256, (2, 40, 200, 3)) / 255.0,
+                      jnp.bfloat16)
+    flow = jnp.asarray(rng.normal(size=(2, 40, 200, 2)) * 7, jnp.bfloat16)
+    ho, wo = 20, 100
+    iy = jnp.broadcast_to(
+        jnp.arange(ho, dtype=jnp.float32)[:, None] * 2 + 0.5, (ho, wo))
+    ix = jnp.broadcast_to(
+        jnp.arange(wo, dtype=jnp.float32)[None] * 2 + 0.5, (ho, wo))
+    pos = jnp.stack([ix, iy], axis=-1)[None] + jnp.asarray(
+        rng.normal(size=(2, ho, wo, 2)) * 3, jnp.float32)
+
+    prev = os.environ.get("RIFE_TPU_WARP_INFLOW")
+    try:
+        cases = [
+            dict(args=(img, flow), kw=dict(slab_mode=True)),
+            dict(args=(img, pos), kw=dict(slab_mode=True, abs_pos=True)),
+            dict(args=(img, pos),
+                 kw=dict(slab_mode=True, abs_pos=True, planar_out=True)),
+        ]
+        for case in cases:
+            with pltpu.force_tpu_interpret_mode():
+                os.environ["RIFE_TPU_WARP_INFLOW"] = "0"
+                a = np.asarray(
+                    WP._warp_pallas_u8_impl_any(*case["args"], **case["kw"]),
+                    np.float32)
+                os.environ["RIFE_TPU_WARP_INFLOW"] = "1"
+                b = np.asarray(
+                    WP._warp_pallas_u8_impl_any(*case["args"], **case["kw"]),
+                    np.float32)
+            np.testing.assert_array_equal(b, a)
+    finally:
+        if prev is None:
+            os.environ.pop("RIFE_TPU_WARP_INFLOW", None)
+        else:
+            os.environ["RIFE_TPU_WARP_INFLOW"] = prev
