@@ -197,14 +197,20 @@ class RIFE:
                 "u8_image_blobs": frozenset(u8_blobs),
                 "planar_escape": os.environ.get(
                     "RIFE_TPU_PLANAR_ESCAPE", "0") != "0",
-                # region-layout measurement knobs (graph/layout.py)
-                # planar conv/deconv anchors measured NET-NEGATIVE in-program
-                # at B=24 1080p (47.95 -> 40.3 fps) despite winning isolated
-                # chains — default off until that inversion is understood
+                # region-layout measurement knobs (graph/layout.py).
+                # Plain-conv anchors measured NET-NEGATIVE in-program (the
+                # round-3 "anchor inversion", understood in round 4: a
+                # planar conv only wins when it absorbs a materialization
+                # — see layout._conv_constraint); absorbers (ConvolutionCat,
+                # fused-PS convs) anchor by default, plain convs opt in.
                 "layout_planar_conv": os.environ.get(
                     "RIFE_TPU_LAYOUT_CONV", "0") != "0",
                 "layout_planar_deconv": os.environ.get(
                     "RIFE_TPU_LAYOUT_DECONV", "0") != "0",
+                "layout_planar_cat": os.environ.get(
+                    "RIFE_TPU_LAYOUT_CAT", "1") != "0",
+                "layout_planar_ps_conv": os.environ.get(
+                    "RIFE_TPU_LAYOUT_PS_CONV", "1") != "0",
                 "layout_planar_ps": os.environ.get(
                     "RIFE_TPU_LAYOUT_PS", "1") != "0",
                 "layout_narrow_min_hw": int(os.environ.get(

@@ -54,27 +54,38 @@ def _conv_constraint(node, shapes, ctx) -> str:
         return NHWC
     h, w, cin = xs[1], xs[2], xs[3]
     cout = ys[3]
+    # Which convs anchor planar, learned from the round-4 per-op traces
+    # (BASELINE.md): a planar conv only wins IN-PROGRAM when it ABSORBS a
+    # materialization its NHWC form would pay anyway — the block-entry
+    # concat relayout (ConvolutionCat: 15.9 ms planar vs 33.2 ms NHWC
+    # copy+conv at B=24 1080p) or the PixelShuffle interleave copy chain
+    # (rife.DeconvPS: kills ~20 ms of pure data-formatting copies).  Plain
+    # convs measured NET-NEGATIVE as planar anchors (37.5 ms of planar
+    # convs replacing ~26 ms of XLA convs — the round-3 'anchor inversion',
+    # now understood): they pay the operand pads and lose the MXU conv
+    # stream without absorbing anything.  Hence the split defaults:
+    # absorbers anchor by default, plain convs only with
+    # RIFE_TPU_LAYOUT_CONV/_DECONV=1.
     if node.type in ("rife.ConvPS", "rife.DeconvPS"):
         # ys is the POST-shuffle shape; the gate needs the conv's own cout
         cout = cout * int(node.p(25, 2)) ** 2
         gate = (P.deconv_wants_planar if node.type == "rife.DeconvPS"
                 else P.conv_wants_planar)
-        key = ("layout_planar_deconv" if node.type == "rife.DeconvPS"
-               else "layout_planar_conv")
-        ok = ctx.get(key, True) and gate(node, h, w, cin, cout, ctx)
+        ok = ctx.get("layout_planar_ps_conv", True) and gate(
+            node, h, w, cin, cout, ctx)
     elif node.type == "ConvolutionCat":
         # parts concat on channels: the gate needs the TOTAL cin
         cs = [shapes.get(b) for b in node.bottoms]
         if any(s is None or len(s) != 4 for s in cs):
             return NHWC
         cin = sum(s[3] for s in cs)
-        ok = ctx.get("layout_planar_conv", True) and P.conv_wants_planar(
+        ok = ctx.get("layout_planar_cat", True) and P.conv_wants_planar(
             node, h, w, cin, cout, ctx)
     elif node.type == "Convolution":
-        ok = ctx.get("layout_planar_conv", True) and P.conv_wants_planar(
+        ok = ctx.get("layout_planar_conv", False) and P.conv_wants_planar(
             node, h, w, cin, cout, ctx)
     else:
-        ok = ctx.get("layout_planar_deconv", True) and P.deconv_wants_planar(
+        ok = ctx.get("layout_planar_deconv", False) and P.deconv_wants_planar(
             node, h, w, cin, cout, ctx)
     return NCHW if ok else NHWC
 

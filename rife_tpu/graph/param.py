@@ -44,6 +44,11 @@ def _parse_kv(token: str):
     return key, _parse_value(val_s)
 
 
+# ncnn layer kinds the reference enables (src/CMakeLists.txt:110-203) that
+# appear in ZERO of the 29 shipped .param graphs; defensive error only
+_UNSUPPORTED_KINDS = frozenset(("Flatten", "Padding", "Cast", "Packing"))
+
+
 def parse_param_text(text: str) -> Graph:
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
     if not lines or int(lines[0]) != NCNN_MAGIC:
@@ -55,6 +60,16 @@ def parse_param_text(text: str) -> Graph:
     for ln in lines[2 : 2 + layer_count]:
         toks = ln.split()
         ltype, lname = toks[0], toks[1]
+        if ltype in _UNSUPPORTED_KINDS:
+            # the reference build ENABLES these four ncnn kinds
+            # (/root/reference/src/CMakeLists.txt layer list) but no graph
+            # in the shipped model zoo uses them; fail at parse time with a
+            # clear message instead of a KeyError mid-execution
+            raise ValueError(
+                f"layer kind {ltype!r} ({lname}) is not supported: it is "
+                f"enabled by the reference build but used by no shipped "
+                f"RIFE model graph"
+            )
         n_bottom, n_top = int(toks[2]), int(toks[3])
         pos = 4
         bottoms = toks[pos : pos + n_bottom]

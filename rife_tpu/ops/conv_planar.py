@@ -385,8 +385,12 @@ def _conv_s2_direct_kernel(*refs, part_channels, cout, wo_pad, h_in, w_in,
 
     @pl.when((i == 0) & (j == 0))
     def _zero_margins():
-        # channel slot padding and width cols [w_in, bandw) are never
-        # DMA'd; zero once, they persist across grid cells
+        # the band's PERSISTENT zero region is only cols [w_in, bandw) —
+        # w_in is the (lane-padded) operand width, so those cols are never
+        # DMA'd and zeroing once here persists across grid cells.  Channel
+        # slot tails inside [0, w_in) ARE re-DMA'd every tile since the
+        # Mosaic alignment fix zero-pads the operands themselves (the
+        # padded rows/cols carry zeros, so the refill is idempotent).
         band[...] = jnp.zeros_like(band[...])
 
     def dma(src_rows0, src_nrows, dst_row0):

@@ -894,26 +894,46 @@ def _warp_kernel_u8_delta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 def _slab_tall_body(img_hbm, y0_full, x0_full, a_full, b_full,
                     o0_ref, o1_ref, o2_ref,
                     slab, acc0, acc1, acc2, sem, *,
-                    nt_w: int, h_max: int, w_max: int):
+                    nt_w: int, h_max: int, w_max: int, ns: int = 1):
     """Shared body of the TALL slab kernel.  ``y0_full``/``x0_full`` (i32)
-    and ``a_full``/``b_full`` (f32) are per-stripe VALUES of shape
-    (TH, wp_o) — either loaded from precomputed operand refs or computed
-    in-kernel from the flow (the inflow variant)."""
+    and ``a_full``/``b_full`` (f32) are VALUES of shape (ns*TH, wp_o) —
+    either loaded from precomputed operand refs or computed in-kernel from
+    the flow (the inflow variant).
+
+    ``ns`` output stripes share one grid cell and ONE band loop: each
+    source band is DMA'd once and serves every covered stripe.  Why: at
+    ns=1 the grid is B x (H/8) = 3,264 cells for the B=24 1080p step, and
+    the ~6 us Mosaic per-cell fixed cost (prologue, DMA setup, loop
+    scaffolding) alone is ~20 ms per warp — the measured empty-range floor.
+    Coarsening to ns stripes divides that fixed cost by ns and dedupes the
+    band DMAs that adjacent stripes of a smooth flow share (band range per
+    stripe ~spread+1; union over ns stripes ~spread+ns)."""
     zeros_row = jnp.zeros(acc0.shape, jnp.float32)
     acc0[...] = zeros_row
     acc1[...] = zeros_row
     acc2[...] = zeros_row
 
+    # per-(stripe, window) iteration ranges + per-stripe band ranges
     ranges = []
-    for lo in range(nt_w):
-        sl = slice(lo * LANE, (lo + 1) * LANE)
-        y0 = y0_full[:, sl]
-        x0 = x0_full[:, sl]
-        ranges.append((
-            jnp.min(y0) // TH,
-            jnp.max(jnp.minimum(y0 + 1, h_max)) // TH,
-            jnp.min(x0) // LANE,
-            jnp.max(jnp.minimum(x0 + 1, w_max)) // LANE,
+    stripe_bands = []
+    for s in range(ns):
+        rs = slice(s * TH, (s + 1) * TH)
+        y0s = y0_full[rs]
+        srange = []
+        for lo in range(nt_w):
+            sl = slice(lo * LANE, (lo + 1) * LANE)
+            y0 = y0s[:, sl]
+            x0 = x0_full[rs, sl]
+            srange.append((
+                jnp.min(y0) // TH,
+                jnp.max(jnp.minimum(y0 + 1, h_max)) // TH,
+                jnp.min(x0) // LANE,
+                jnp.max(jnp.minimum(x0 + 1, w_max)) // LANE,
+            ))
+        ranges.append(srange)
+        stripe_bands.append((
+            jnp.min(y0s) // TH,
+            jnp.max(jnp.minimum(y0s + 1, h_max)) // TH,
         ))
 
     band_lo = jnp.min(y0_full) // TH
@@ -946,64 +966,74 @@ def _slab_tall_body(img_hbm, y0_full, x0_full, a_full, b_full,
         cp.wait()
         r_tall = band * TH + k_of
 
-        for lo in range(nt_w):
-            blo, bhi, t_lo, t_hi = ranges[lo]
+        def stripe_windows(s, rs):
+            for lo in range(nt_w):
+                blo, bhi, t_lo, t_hi = ranges[s][lo]
 
-            @pl.when((band >= blo) & (band <= bhi))
-            def _(lo=lo, t_lo=t_lo, t_hi=t_hi):
-                sl = slice(lo * LANE, (lo + 1) * LANE)
-                y0 = y0_full[:, sl]
-                x0 = x0_full[:, sl]
-                y1 = jnp.minimum(y0 + 1, h_max)
-                x1 = jnp.minimum(x0 + 1, w_max)
-                alpha = a_full[:, sl]
-                beta = b_full[:, sl]
-                w00t = tall((1.0 - alpha) * (1.0 - beta))
-                w01t = tall(alpha * (1.0 - beta))
-                w10t = tall((1.0 - alpha) * beta)
-                w11t = tall(alpha * beta)
-                m0 = (tall(y0) == r_tall)
-                m1 = (tall(y1) == r_tall)
-                zero = jnp.zeros_like(w00t)
+                @pl.when((band >= blo) & (band <= bhi))
+                def _(rs=rs, lo=lo, t_lo=t_lo, t_hi=t_hi):
+                    sl = slice(lo * LANE, (lo + 1) * LANE)
+                    y0 = y0_full[rs, sl]
+                    x0 = x0_full[rs, sl]
+                    y1 = jnp.minimum(y0 + 1, h_max)
+                    x1 = jnp.minimum(x0 + 1, w_max)
+                    alpha = a_full[rs, sl]
+                    beta = b_full[rs, sl]
+                    w00t = tall((1.0 - alpha) * (1.0 - beta))
+                    w01t = tall(alpha * (1.0 - beta))
+                    w10t = tall((1.0 - alpha) * beta)
+                    w11t = tall(alpha * beta)
+                    m0 = (tall(y0) == r_tall)
+                    m1 = (tall(y1) == r_tall)
+                    zero = jnp.zeros_like(w00t)
 
-                def tile_body(t, accs):
-                    a0v, a1v, a2v = accs
-                    chunk = slab[:, pl.ds(t * LANE, LANE)]
-                    # row k repeated over the 8 output sublanes per block
-                    tile64 = jnp.broadcast_to(
-                        chunk[:, None, :], (TH, TH, LANE)
-                    ).reshape(TH * TH, LANE)
-                    lx0 = x0 - t * LANE
-                    lx1 = x1 - t * LANE
-                    ok0 = tall((lx0 >= 0) & (lx0 < LANE))
-                    ok1 = tall((lx1 >= 0) & (lx1 < LANE))
-                    idx0 = tall(jnp.clip(lx0, 0, LANE - 1))
-                    idx1 = tall(jnp.clip(lx1, 0, LANE - 1))
-                    g0 = jnp.take_along_axis(tile64, idx0, axis=1)
-                    g1 = jnp.take_along_axis(tile64, idx1, axis=1)
-                    wg0 = (
-                        jnp.where(m0 & ok0, w00t, zero)
-                        + jnp.where(m1 & ok0, w10t, zero)
+                    def tile_body(t, accs):
+                        a0v, a1v, a2v = accs
+                        chunk = slab[:, pl.ds(t * LANE, LANE)]
+                        # row k repeated over the 8 output sublanes per block
+                        tile64 = jnp.broadcast_to(
+                            chunk[:, None, :], (TH, TH, LANE)
+                        ).reshape(TH * TH, LANE)
+                        lx0 = x0 - t * LANE
+                        lx1 = x1 - t * LANE
+                        ok0 = tall((lx0 >= 0) & (lx0 < LANE))
+                        ok1 = tall((lx1 >= 0) & (lx1 < LANE))
+                        idx0 = tall(jnp.clip(lx0, 0, LANE - 1))
+                        idx1 = tall(jnp.clip(lx1, 0, LANE - 1))
+                        g0 = jnp.take_along_axis(tile64, idx0, axis=1)
+                        g1 = jnp.take_along_axis(tile64, idx1, axis=1)
+                        wg0 = (
+                            jnp.where(m0 & ok0, w00t, zero)
+                            + jnp.where(m1 & ok0, w10t, zero)
+                        )
+                        wg1 = (
+                            jnp.where(m0 & ok1, w01t, zero)
+                            + jnp.where(m1 & ok1, w11t, zero)
+                        )
+                        r0, g0c, b0c = unpack3(g0)
+                        r1, g1c, b1c = unpack3(g1)
+                        c0 = (r0 * wg0 + r1 * wg1).reshape(TH, TH, LANE)
+                        c1 = (g0c * wg0 + g1c * wg1).reshape(TH, TH, LANE)
+                        c2 = (b0c * wg0 + b1c * wg1).reshape(TH, TH, LANE)
+                        return (a0v + c0.sum(0), a1v + c1.sum(0),
+                                a2v + c2.sum(0))
+
+                    a0v, a1v, a2v = lax.fori_loop(
+                        t_lo, t_hi + 1, tile_body,
+                        (acc0[rs, sl], acc1[rs, sl], acc2[rs, sl]),
                     )
-                    wg1 = (
-                        jnp.where(m0 & ok1, w01t, zero)
-                        + jnp.where(m1 & ok1, w11t, zero)
-                    )
-                    r0, g0c, b0c = unpack3(g0)
-                    r1, g1c, b1c = unpack3(g1)
-                    c0 = (r0 * wg0 + r1 * wg1).reshape(TH, TH, LANE)
-                    c1 = (g0c * wg0 + g1c * wg1).reshape(TH, TH, LANE)
-                    c2 = (b0c * wg0 + b1c * wg1).reshape(TH, TH, LANE)
-                    return (a0v + c0.sum(0), a1v + c1.sum(0),
-                            a2v + c2.sum(0))
+                    acc0[rs, sl] = a0v
+                    acc1[rs, sl] = a1v
+                    acc2[rs, sl] = a2v
 
-                a0v, a1v, a2v = lax.fori_loop(
-                    t_lo, t_hi + 1, tile_body,
-                    (acc0[:, sl], acc1[:, sl], acc2[:, sl]),
-                )
-                acc0[:, sl] = a0v
-                acc1[:, sl] = a1v
-                acc2[:, sl] = a2v
+        for s in range(ns):
+            sb_lo, sb_hi = stripe_bands[s]
+
+            # stripe-level guard: a band outside this stripe's source range
+            # skips all nt_w window predicates at once
+            @pl.when((band >= sb_lo) & (band <= sb_hi))
+            def _(s=s):
+                stripe_windows(s, slice(s * TH, (s + 1) * TH))
 
         return carry
 
@@ -1035,7 +1065,8 @@ def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 def _warp_kernel_u8_slab_tall_flow(img_hbm, sx_ref, sy_ref,
                                    o0_ref, o1_ref, o2_ref,
                                    slab, acc0, acc1, acc2, sem, *,
-                                   nt_w: int, h_max: int, w_max: int):
+                                   nt_w: int, h_max: int, w_max: int,
+                                   ns: int = 1):
     """Inflow TALL slab kernel: the sample indices/weights are computed
     IN-KERNEL from the absolute sample positions instead of being
     materialized by the XLA driver.
@@ -1059,7 +1090,7 @@ def _warp_kernel_u8_slab_tall_flow(img_hbm, sx_ref, sy_ref,
     _slab_tall_body(
         img_hbm, y0, x0, alpha, beta,
         o0_ref, o1_ref, o2_ref, slab, acc0, acc1, acc2, sem,
-        nt_w=nt_w, h_max=h_max, w_max=w_max,
+        nt_w=nt_w, h_max=h_max, w_max=w_max, ns=ns,
     )
 
 
@@ -1762,31 +1793,49 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             pltpu.SemaphoreType.DMA,
         ]
         if tall and os.environ.get("RIFE_TPU_WARP_INFLOW", "1") != "0":
-            # inflow form: hand the kernel the raw flow planes; it derives
-            # y0/x0/alpha/beta per stripe with the exact same f32 op
-            # sequence (bit-identical results).  Skips materializing +
+            # inflow form: hand the kernel the raw sample positions; it
+            # derives y0/x0/alpha/beta per stripe with the exact same f32
+            # op sequence (bit-identical results).  Skips materializing +
             # edge-padding four full-res operands per warp in HBM.
+            # ns output stripes share one grid cell and one band loop
+            # (grid coarsening: divides the ~6 us Mosaic per-cell fixed
+            # cost and dedupes the band DMAs adjacent stripes share).
+            ns = max(1, int(os.environ.get("RIFE_TPU_WARP_NS", "4")))
+            hp_m = _round_up(ho, TH * ns)
+            n_rows = hp_m // TH
+
             def padf(v):
                 return jnp.pad(
                     v,
-                    ((0, 0), (0, hp_o - v.shape[1]),
+                    ((0, 0), (0, hp_m - v.shape[1]),
                      (0, wp_o - v.shape[2])),
                     mode="edge",
                 )
 
             kernel = functools.partial(
                 _warp_kernel_u8_slab_tall_flow, nt_w=nt_w,
-                h_max=h - 1, w_max=w - 1,
+                h_max=h - 1, w_max=w - 1, ns=ns,
             )
+            blk = pl.BlockSpec(
+                (1, ns * TH, wp_o), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+            scratch_m = [
+                pltpu.VMEM((TH, wp), jnp.int32),           # slab
+                pltpu.VMEM((ns * TH, wp_o), jnp.float32),  # acc r
+                pltpu.VMEM((ns * TH, wp_o), jnp.float32),  # acc g
+                pltpu.VMEM((ns * TH, wp_o), jnp.float32),  # acc b
+                pltpu.SemaphoreType.DMA,
+            ]
             outs = pl.pallas_call(
                 kernel,
-                grid=grid,
-                in_specs=[img_spec] + [idx_spec] * 2,
-                out_specs=[out_spec] * 3,
+                grid=(b, n_rows // ns),
+                in_specs=[img_spec] + [blk] * 2,
+                out_specs=[blk] * 3,
                 out_shape=[
-                    jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)
+                    jax.ShapeDtypeStruct((b, hp_m, wp_o), out_dtype)
                 ] * 3,
-                scratch_shapes=scratch,
+                scratch_shapes=scratch_m,
             )(words, padf(sx), padf(sy))
             if planar_out:
                 return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]

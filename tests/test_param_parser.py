@@ -167,3 +167,16 @@ def test_value_copies_rejects_mid_segment_crop():
     assert "ab" in u8  # a concat of seeds is still u8-exact per channel
     assert "bcopy" in u8
     assert "mid" not in u8
+
+
+def test_unsupported_enabled_kinds_error_at_parse_time():
+    """Flatten/Padding/Cast/Packing are enabled by the reference build
+    (src/CMakeLists.txt) but used by no shipped graph; parsing one must
+    fail with a clear message, not a KeyError at run time."""
+    import pytest
+
+    from rife_tpu.graph.param import parse_param_text
+
+    text = "7767517\n2 2\nInput in0 0 1 in0\nFlatten fl_0 1 1 in0 out0\n"
+    with pytest.raises(ValueError, match="Flatten.*not supported"):
+        parse_param_text(text)
