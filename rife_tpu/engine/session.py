@@ -17,6 +17,7 @@ Differences from the reference, by TPU design:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -29,9 +30,10 @@ from ..graph.rewrite import (
     fuse_prelu_activations,
     fuse_quarter_downscaled_warps,
     fuse_render_blend,
+    fuse_warps_into_cat_conv,
 )
 from ..models.zoo import LoadedModel, load_model
-from ..ops import jax_ops
+from ..ops import frame, jax_ops
 from . import pipelines
 from .pipelines import PipelineConfig
 
@@ -103,6 +105,12 @@ class RIFE:
         wdtype = self.cfg.jdtype
         # Pallas warp kernel only lowers on real TPUs (Mosaic dynamic_gather)
         use_pallas = self.device.platform == "tpu"
+        self._use_pallas = use_pallas
+        # resolved lazily by the first step when RIFE_TPU_WARP_VARIANT is
+        # "auto": a one-time flow-roughness probe routes spatially-rough
+        # flows to the flow-width-insensitive band kernel (see
+        # _resolve_warp_variant)
+        self._auto_warp_variant: Optional[str] = None
         # blobs that are exact value-copies of the u8-origin input frames:
         # warps on those take the lossless u8-quad Pallas kernel
         _IMG_SEEDS = {
@@ -169,12 +177,19 @@ class RIFE:
                 graph, net_weights = fuse_prelu_activations(
                     graph, net_weights, frozenset(_EXTRACTABLE.get(name, ()))
                 )
+            region_mode = (os.environ.get("RIFE_TPU_LAYOUT", "nhwc")
+                           == "region" and use_pallas)
+            flat_nhwc = not region_mode and not (
+                planar_nets and name in planar_nets)
             if os.environ.get("RIFE_TPU_FUSE_CAT", "1") != "0":
                 # feed block-entry concats straight into the stride-2 conv
                 # (the planar kernel DMAs parts into band slots; the NHWC
-                # table re-concatenates — identical semantics either way)
+                # table re-concatenates — identical semantics either way).
+                # Nested concats flatten only for planar/region executors:
+                # the flat 5-part NHWC concat measured slower (rewrite.py)
                 graph = fuse_concat_into_convs(
-                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                    graph, frozenset(_EXTRACTABLE.get(name, ())),
+                    flatten_nested=not flat_nhwc,
                 )
             if os.environ.get("RIFE_TPU_FUSE_PS", "1") != "0":
                 # bake PixelShuffle channel regrouping into the producing
@@ -189,6 +204,21 @@ class RIFE:
                 # render runs on per-channel planes end-to-end (no C=3
                 # full-res lane-padded NHWC tensor; graph/rewrite.py)
                 graph = fuse_render_blend(
+                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                )
+            if flat_nhwc and os.environ.get(
+                    "RIFE_TPU_FUSE_WARPCAT", "0") != "0":
+                # measured NET-NEGATIVE on the flat path (49.2 -> 47.0 fps
+                # at B=24 1080p): the planar block-entry conv wins its own
+                # battle but the BHCW->NHWC output relayout + downstream
+                # layout churn eat more than the concat it absorbs.  Kept
+                # behind RIFE_TPU_FUSE_WARPCAT=1 as a measured dead end;
+                # requires flatten_nested concats to expose the warp parts.
+                graph = fuse_concat_into_convs(
+                    graph, frozenset(_EXTRACTABLE.get(name, ())),
+                    flatten_nested=True,
+                )
+                graph = fuse_warps_into_cat_conv(
                     graph, frozenset(_EXTRACTABLE.get(name, ()))
                 )
             u8_blobs = graph.value_copies_of(_IMG_SEEDS.get(name, ()))
@@ -255,18 +285,24 @@ class RIFE:
     # -- jitted step construction ------------------------------------------
 
     def build_step_fn(self, pad_h: int, pad_w: int, *,
-                      use_pallas: Optional[bool] = None):
+                      use_pallas: Optional[bool] = None,
+                      warp_variant: Optional[str] = None):
         """The raw (unjitted) end-to-end step ``(W, in0, in1, t) -> u8``;
         sharded wrappers in ``rife_tpu.parallel`` re-jit this with mesh
         shardings.  ``use_pallas=False`` forces the XLA warp (required under
-        GSPMD spatial sharding — custom calls cannot be auto-partitioned)."""
+        GSPMD spatial sharding — custom calls cannot be auto-partitioned).
+        ``warp_variant`` pins the u8 warp kernel choice into the traced
+        step (the auto-probe's resolution; overrides the env default)."""
         cfg = self.cfg
+        extra = cfg.extra_ctx
         if use_pallas is False:
+            extra = extra + (("use_pallas_warp", False),)
+        if warp_variant is not None:
+            extra = extra + (("warp_variant", warp_variant),)
+        if extra is not cfg.extra_ctx:
             import dataclasses
 
-            cfg = dataclasses.replace(
-                cfg, extra_ctx=cfg.extra_ctx + (("use_pallas_warp", False),)
-            )
+            cfg = dataclasses.replace(cfg, extra_ctx=extra)
         nets = self.executors
 
         if cfg.family == "v4":
@@ -282,12 +318,77 @@ class RIFE:
         return step
 
     def _get_step(self, b: int, h: int, w: int):
-        key = (b, pad_to(h), pad_to(w))
-        fn = self._step_cache.get(key)
-        if fn is None:
-            fn = jax.jit(self.build_step_fn(pad_to(h), pad_to(w)))
-            self._step_cache[key] = fn
-        return fn
+        ph, pw = pad_to(h), pad_to(w)
+
+        def stepper(W, in0, in1, ts):
+            variant = self._resolve_warp_variant(in0, in1, ts, ph, pw)
+            key = (b, ph, pw, variant)
+            fn = self._step_cache.get(key)
+            if fn is None:
+                fn = jax.jit(self.build_step_fn(
+                    ph, pw, warp_variant=variant))
+                self._step_cache[key] = fn
+            return fn(W, in0, in1, ts)
+
+        return stepper
+
+    def _resolve_warp_variant(self, in0, in1, ts, ph: int, pw: int):
+        """Pick the u8 warp kernel for this session's workload, once.
+
+        The flow-adaptive kernels (slab/delta) are the fastest on the
+        smooth flows trained RIFE weights produce, but degrade on
+        spatially-rough fields, where the row-band kernel's cost is
+        bounded (BASELINE.md adversarial `iid` row; the reference's warp
+        cost is flow-independent, /root/reference/src/warp.comp:42-63).
+        With RIFE_TPU_WARP_VARIANT=auto (the default) the first batch runs
+        a one-time probe: extract the coarsest flow tap, measure the mean
+        per-(8x128)-stripe y-spread in full-res pixel units, and pin
+        'band' into the step when it exceeds ROUGH_SPREAD_ROWS (measured
+        separation: calibrated smooth synthesis ~2-3 rows, iid ~30-80).
+        An explicit env value always wins; non-TPU backends skip the probe
+        (the Pallas kernels don't run there)."""
+        env = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+        if env != "auto":
+            return env
+        if self._auto_warp_variant is not None:
+            return self._auto_warp_variant
+        if (not self._use_pallas or self.cfg.family != "v4"
+                or os.environ.get("RIFE_TPU_WARP_AUTOPROBE", "1") == "0"):
+            # v1/v2 warps ride the multi-channel/planar kernels whose
+            # variants aren't flow-adaptive in the same way; keep the
+            # static default there
+            self._auto_warp_variant = "auto"
+            return "auto"
+        b = int(in0.shape[0])
+
+        def probe(W, i0, i1, t):
+            img0 = frame.preprocess(i0, ph, pw, self.cfg.jdtype)
+            img1 = frame.preprocess(i1, ph, pw, self.cfg.jdtype)
+            tp = frame.timestep_plane(t, b, ph, pw, self.cfg.jdtype)
+            return pipelines._v4_flow_pyramid(
+                self.executors["flownet"], self.cfg, W, img0, img1, tp, {}
+            )
+
+        tap = np.asarray(jax.jit(probe)(self.weights, in0, in1, ts)[:1],
+                         np.float32)
+        h0 = tap.shape[1]
+        # y-flow of direction 0 in full-res pixel units (each pyramid
+        # upsample doubles the flow magnitude on the way to full res)
+        fy = tap[0, :, :, 1] * (ph / h0)
+        th, lane = 8, 128
+        hp = (fy.shape[0] + th - 1) // th * th
+        wp2 = (fy.shape[1] + lane - 1) // lane * lane
+        fy = np.pad(fy, ((0, hp - fy.shape[0]), (0, wp2 - fy.shape[1])),
+                    mode="edge")
+        s = fy.reshape(hp // th, th, wp2 // lane, lane)
+        spread = (s.max(axis=(1, 3)) - s.min(axis=(1, 3))).mean()
+        rough = float(spread) > float(os.environ.get(
+            "RIFE_TPU_ROUGH_SPREAD_ROWS", "8.0"))
+        self._auto_warp_variant = "band" if rough else "auto"
+        if os.environ.get("RIFE_TPU_WARP_DEBUG", "0") != "0":
+            print(f"[warp] auto-probe: stripe y-spread {spread:.2f} rows "
+                  f"-> variant {self._auto_warp_variant}", flush=True)
+        return self._auto_warp_variant
 
     # -- public API ---------------------------------------------------------
 

@@ -139,7 +139,8 @@ def fuse_prelu_activations(
 
 
 def fuse_concat_into_convs(
-    graph: Graph, protected: frozenset = frozenset()
+    graph: Graph, protected: frozenset = frozenset(),
+    flatten_nested: bool = False,
 ) -> Graph:
     """Replace ``Convolution(Concat(parts...))`` (channel-axis concat with
     a single consumer, 3x3 stride-2 conv) with one ``ConvolutionCat`` node
@@ -180,11 +181,37 @@ def fuse_concat_into_convs(
         p = nodes[pidx]
         if p.type != "Concat" or int(p.p(0, 0)) != 0 or len(p.bottoms) < 2:
             continue
+
+        # channel concat is associative: flatten nested single-consumer
+        # concats so the v4 block entries' cat(cat(w0, w1, t, m), flow)
+        # exposes ALL parts.  Only profitable where the consumer DMAs
+        # parts directly (the planar direct-s2 band slots — the inner
+        # 8-ch full-res concat then never materializes); on the NHWC
+        # table the flat 5-part jnp.concatenate measured SLOWER than the
+        # nested form (49.2 -> 47.8 fps on the v4.6 headline: XLA picks
+        # worse layouts for the wide flat concat), so flat-mode callers
+        # keep flatten_nested=False.
+        inner_dead: set = set()
+
+        def flatten(blob):
+            if flatten_nested:
+                bidx = producer_idx.get(blob)
+                if bidx is not None:
+                    q = nodes[bidx]
+                    if (q.type == "Concat" and int(q.p(0, 0)) == 0
+                            and counts.get(blob, 0) == 1
+                            and blob not in protected):
+                        inner_dead.add(bidx)
+                        return [x for b in q.bottoms for x in flatten(b)]
+            return [blob]
+
+        parts = [x for b in p.bottoms for x in flatten(b)]
         nodes[i] = LayerNode(
-            "ConvolutionCat", node.name, list(p.bottoms), list(node.tops),
+            "ConvolutionCat", node.name, parts, list(node.tops),
             dict(node.params),
         )
         dead.add(pidx)
+        dead.update(inner_dead)
         changed = True
     if not changed:
         return graph
@@ -252,6 +279,66 @@ def fuse_pixelshuffle_into_convs(
     if not changed:
         return graph
     nodes = [n for i, n in enumerate(nodes) if i not in dead]
+    return _rebuild(nodes, list(graph.input_blobs))
+
+
+def fuse_warps_into_cat_conv(
+    graph: Graph, protected: frozenset = frozenset()
+) -> Graph:
+    """Pull single-consumer warp producers INTO a block-entry
+    ``ConvolutionCat`` as one ``rife.WarpCatConv`` node.
+
+    The v4 pyramid blocks consume concat(warped0, warped1, timestep, mask,
+    flow) (/root/reference/models/rife-v4.6/flownet.param:164-166).  Even
+    with the concat fused into the conv (fuse_concat_into_convs), the NHWC
+    path still materializes both warped images in NHWC and pays the
+    concat's relayout copy + a 5 TF/s narrow conv (measured 33.2 ms of the
+    B=24 1080p step for block3).  The fused node lets the op run the
+    Pallas warps straight to per-channel PLANES and feed every part into
+    the direct stride-2 planar conv kernel's band slots — no NHWC warped
+    image, no concat materialization.
+
+    Bottoms: for each original part, either the part blob itself or, for a
+    fused warp part, the warp's (image, flow) pair; params[26] holds the
+    per-part warp flags.  Semantics are identical to warp + concat + conv
+    (the op composes exactly those when its fast-path gates fail).  Fires
+    only when at least two parts are single-consumer warps (the block
+    entry pattern) and nothing consumed is protected."""
+    counts = _consumer_counts(graph.nodes)
+    producer_idx = {}
+    for idx, node in enumerate(graph.nodes):
+        for top in node.tops:
+            producer_idx[top] = idx
+    nodes = list(graph.nodes)
+    changed = False
+    for i, node in enumerate(nodes):
+        if node.type != "ConvolutionCat":
+            continue
+        new_bottoms: List[str] = []
+        flags: List[int] = []
+        n_warp = 0
+        for b in node.bottoms:
+            pidx = producer_idx.get(b)
+            p = nodes[pidx] if pidx is not None else None
+            if (p is not None and p.type == "rife.Warp"
+                    and len(p.bottoms) == 2 and counts.get(b, 0) == 1
+                    and b not in protected):
+                new_bottoms.extend(p.bottoms)
+                flags.append(1)
+                n_warp += 1
+            else:
+                new_bottoms.append(b)
+                flags.append(0)
+        if n_warp < 2:
+            continue
+        nodes[i] = LayerNode(
+            "rife.WarpCatConv", node.name, new_bottoms, list(node.tops),
+            {**node.params, 26: flags},
+        )
+        changed = True
+        # dead warp nodes stay; demand-driven traversal never runs them
+    if not changed:
+        return graph
     return _rebuild(nodes, list(graph.input_blobs))
 
 

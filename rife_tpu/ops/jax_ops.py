@@ -665,7 +665,8 @@ def _op_warp(node, inputs, w, ctx):
         # u8-origin warps stream slabs at any size; the float kernels need
         # the whole plane resident in VMEM
         if u8 or fits_vmem(image.shape[1], image.shape[2]):
-            variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            variant = ctx.get("warp_variant") or os.environ.get(
+                "RIFE_TPU_WARP_VARIANT", "auto")
             _warp_debug(node, "pallas", image, ctx, u8=u8, variant=variant)
             return [warp_pallas(image, flow, u8_origin=u8,
                                 u8_variant=variant)]
@@ -685,7 +686,8 @@ def _render_warp(img, fl, blob, node, ctx):
             and blob in ctx.get("u8_image_blobs", ())
         )
         if u8 or fits_vmem(img.shape[1], img.shape[2]):
-            variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            variant = ctx.get("warp_variant") or os.environ.get(
+                "RIFE_TPU_WARP_VARIANT", "auto")
             _warp_debug(node, "pallas_render", img, ctx, u8=u8,
                         variant=variant)
             return warp_pallas(img, fl, u8_origin=u8, u8_variant=variant)
@@ -721,7 +723,8 @@ def _op_render_blend(node, inputs, w, ctx):
     if ctx.get("use_pallas_warp") and u8_ok:
         from .warp_pallas import warp_pallas
 
-        variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+        variant = ctx.get("warp_variant") or os.environ.get(
+                "RIFE_TPU_WARP_VARIANT", "auto")
         _warp_debug(node, "pallas_render_planar", img_m, ctx, u8=True,
                     variant=variant)
         wm = warp_pallas(img_m, flow_m, u8_origin=True, u8_variant=variant,
@@ -749,6 +752,78 @@ def _op_convolution_cat(node, inputs, w, ctx):
     NHWC path the concat is re-materialized — identical semantics; the
     planar table feeds the parts straight into the kernel's band slots."""
     return _op_convolution(node, [jnp.concatenate(inputs, axis=3)], w, ctx)
+
+
+def _op_warp_cat_conv(node, inputs, w, ctx):
+    """rife.WarpCatConv (graph/rewrite.py fuse_warps_into_cat_conv): the
+    block-entry warps + concat + stride-2 conv as one op.
+
+    Fast path (Pallas warp on, all warp parts u8-eligible, the direct-s2
+    planar kernel gates pass): the warps emit per-channel PLANES, narrow
+    non-warp parts transpose to planes (C=1 parts are free reshapes), and
+    everything DMAs straight into the planar conv kernel's band slots —
+    the warped images and the 12-ch concat never materialize in NHWC
+    (33.2 ms of the B=24 1080p step for block3's entry, vs ~16 ms for the
+    planar kernel).  The conv accumulates in f32 like the XLA conv; the
+    two paths differ only in accumulation order (<=1 bf16 ulp).
+    Fallback: exactly the composed warp + concat + conv.
+    Reference: /root/reference/models/rife-v4.6/flownet.param:164-166."""
+    flags = node.p(26)
+    specs = []  # (is_warp, img_or_part, flow_or_None, image_blob)
+    pos = 0
+    for f in flags:
+        if f:
+            specs.append((True, inputs[pos], inputs[pos + 1],
+                          node.bottoms[pos]))
+            pos += 2
+        else:
+            specs.append((False, inputs[pos], None, node.bottoms[pos]))
+            pos += 1
+
+    from . import planar_ops as P
+
+    hw = ctx["w"][node.name]["hwio"]
+    cin, cout = hw.shape[2], hw.shape[3]
+    h, wid = specs[0][1].shape[1], specs[0][1].shape[2]
+    u8s = ctx.get("u8_image_blobs", ())
+    u8_ok = not ctx.get("no_u8_warp") and all(
+        (not is_warp) or (img.shape[-1] <= 4 and blob in u8s)
+        for is_warp, img, _, blob in specs
+    )
+    if (ctx.get("use_pallas_warp") and u8_ok
+            and int(node.p(3, 1)) == 2
+            and os.environ.get("RIFE_TPU_S2_DIRECT", "1") != "0"
+            and os.environ.get("RIFE_TPU_FUSE_WARPCAT", "1") != "0"
+            and P.conv_wants_planar(node, h, wid, cin, cout, ctx)):
+        from .conv_planar import conv_planar_cat
+        from .warp_pallas import warp_pallas
+
+        variant = ctx.get("warp_variant") or os.environ.get(
+                "RIFE_TPU_WARP_VARIANT", "auto")
+        parts = []
+        for is_warp, x, fl, blob in specs:
+            if is_warp:
+                _warp_debug(node, "pallas_warpcat", x, ctx, u8=True,
+                            variant=variant)
+                parts.append(warp_pallas(x, fl, u8_origin=True,
+                                         u8_variant=variant,
+                                         planar_out=True))
+            else:
+                parts.append(x.transpose(0, 1, 3, 2))  # NHWC -> BHCW
+        act, params = C.activation_of(node)
+        bias = ctx["w"][node.name]["bias"]
+        slope = (ctx["w"][node.name].get("slope")
+                 if act == C.ACT_PRELU_CH else None)
+        alpha = float(params[0]) if act == C.ACT_LEAKY else 0.2
+        y = conv_planar_cat(parts, hw, bias, act=P._ACT_MAP[act],
+                            alpha=alpha, slope=slope)
+        return [y.transpose(0, 1, 3, 2)]  # BHCW -> NHWC
+    # exact composed fallback
+    vals = [
+        _render_warp(x, fl, blob, node, ctx) if is_warp else x
+        for is_warp, x, fl, blob in specs
+    ]
+    return _op_convolution(node, [jnp.concatenate(vals, axis=3)], w, ctx)
 
 
 def _op_conv_ps(node, inputs, w, ctx):
@@ -786,6 +861,7 @@ OP_TABLE = {
     "rife.WarpDs4": _op_warp_ds4,
     "rife.WarpDs2": _op_warp_ds2,
     "rife.RenderBlend": _op_render_blend,
+    "rife.WarpCatConv": _op_warp_cat_conv,
 }
 
 
@@ -808,7 +884,8 @@ def prepare_weights(
         if lw is None:
             continue
         entry: Dict[str, Optional[jnp.ndarray]] = {}
-        if node.type in ("Convolution", "ConvolutionCat", "rife.ConvPS"):
+        if node.type in ("Convolution", "ConvolutionCat", "rife.ConvPS",
+                         "rife.WarpCatConv"):
             entry["hwio"] = jnp.asarray(
                 lw.weight.transpose(2, 3, 1, 0), dtype=dtype
             )

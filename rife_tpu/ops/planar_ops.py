@@ -338,7 +338,8 @@ def _op_warp_planar(node, inputs, w, ctx):
 
         u8 = _warp_u8_eligible(node, image, ctx)
         if u8 or fits_vmem(image.shape[1], image.shape[3]):
-            variant = os.environ.get("RIFE_TPU_WARP_VARIANT", "auto")
+            variant = ctx.get("warp_variant") or os.environ.get(
+                "RIFE_TPU_WARP_VARIANT", "auto")
             J._warp_debug(node, "pallas_planar", image, ctx, u8=u8,
                           variant=variant)
             return [warp_pallas(image, flow, u8_origin=u8,

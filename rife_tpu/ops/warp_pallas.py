@@ -1798,9 +1798,12 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             # op sequence (bit-identical results).  Skips materializing +
             # edge-padding four full-res operands per warp in HBM.
             # ns output stripes share one grid cell and one band loop
-            # (grid coarsening: divides the ~6 us Mosaic per-cell fixed
-            # cost and dedupes the band DMAs adjacent stripes share).
-            ns = max(1, int(os.environ.get("RIFE_TPU_WARP_NS", "4")))
+            # (grid coarsening).  Default 1: the headline A/B measured
+            # coarsening monotonically NEGATIVE (49.2/48.0/47.8/47.3 fps
+            # at ns=1/2/4/8) — Mosaic already pipelines the per-cell fixed
+            # cost across grid steps, and bigger cells reduce that overlap.
+            # Kept as a measured knob for other shapes.
+            ns = max(1, int(os.environ.get("RIFE_TPU_WARP_NS", "1")))
             hp_m = _round_up(ho, TH * ns)
             n_rows = hp_m // TH
 
@@ -1878,6 +1881,42 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
     out = jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     return out
+
+
+def warp_pallas_spatial(image, pos, mesh, axis: str, *,
+                        u8_origin: bool = True, variant: str = "auto",
+                        planar_out: bool = False):
+    """Height-sharded backward warp on the Pallas slab kernel.
+
+    ``image``/``pos`` are GLOBAL (B,H,W,C)/(B,Ho,Wo,2) arrays height-
+    sharded over mesh axis ``axis`` (``pos`` carries ABSOLUTE (sx, sy)
+    sample positions, like ``abs_pos`` mode).  Inside a shard_map each
+    shard all-gathers the source rows over ICI and evaluates the slab
+    kernel on ITS OWN output rows only — the gather work shards
+    perfectly, and exactness needs no static halo bound: a backward warp
+    may read ANY source row (the flow is data), so the only exact
+    "margin" is the whole frame.  The all-gather is the u8 source frame
+    (bytes-per-pixel small next to the activations GSPMD keeps sharded);
+    the slab kernel then streams only the bands each shard's flow
+    actually touches.  Replaces the ``use_pallas=False`` XLA-gather
+    fallback that made spatially-sharded warps ~1000x off Pallas cost
+    (BASELINE.md round-1: 44 s vs 17 ms for one 4K warp).
+    Reference long-frame analog: /root/reference/src/rife.cpp:294-332
+    (UHD mode); multi-GPU loop main.cpp:819-866."""
+    from jax.sharding import PartitionSpec as SP
+
+    spec = SP(None, axis, None, None)
+
+    def local(img, ps):
+        full = lax.all_gather(img, axis, axis=1, tiled=True)
+        return warp_pallas(full, ps, u8_origin=u8_origin,
+                           u8_variant=variant, abs_pos=True,
+                           planar_out=planar_out)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec),
+        out_specs=SP(None, axis, None, None), check_vma=False,
+    )(image, pos)
 
 
 def fits_vmem(h: int, w: int) -> bool:

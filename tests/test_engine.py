@@ -133,3 +133,30 @@ def test_uhd_mode_runs(v23):
     # UHD estimates flow at 0.5x: result differs from the full-res path
     base = v23.process(a, b, 0.5)
     assert not np.array_equal(out, base)
+
+
+def test_warp_variant_autoprobe_resolution():
+    """RIFE_TPU_WARP_VARIANT=auto resolves once per session: explicit env
+    values win, non-TPU backends skip the probe (Pallas doesn't run
+    there), and the resolved choice is pinned into the step cache key."""
+    import os
+
+    import jax
+
+    from rife_tpu.engine.session import RIFE
+
+    s = RIFE("rife-v4.6", dtype="float32")
+    prev = os.environ.get("RIFE_TPU_WARP_VARIANT")
+    try:
+        os.environ["RIFE_TPU_WARP_VARIANT"] = "band"
+        assert s._resolve_warp_variant(None, None, None, 64, 64) == "band"
+        os.environ["RIFE_TPU_WARP_VARIANT"] = "auto"
+        if jax.devices()[0].platform != "tpu":
+            # CPU backend: no probe, static default
+            assert s._resolve_warp_variant(None, None, None, 64, 64) == "auto"
+            assert s._auto_warp_variant == "auto"
+    finally:
+        if prev is None:
+            os.environ.pop("RIFE_TPU_WARP_VARIANT", None)
+        else:
+            os.environ["RIFE_TPU_WARP_VARIANT"] = prev

@@ -349,3 +349,53 @@ def test_fuse_render_blend_guards():
     # a graph without the pattern is returned unchanged (same object)
     g23 = parse_param("/root/reference/models/rife-v2.3/contextnet.param")
     assert fuse_render_blend(g23) is g23
+
+
+def test_fuse_warps_into_cat_conv_fast_path_matches_composed():
+    """rife.WarpCatConv: the planar fast path (Pallas warps -> direct-s2
+    band slots) matches the composed warp+concat+conv within planar conv
+    tolerance; the fallback path is exact."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rife_tpu.graph.ir import LayerNode as LN
+
+    b, h, wd = 1, 16, 256
+    rng = np.random.default_rng(9)
+    img0 = jnp.asarray(rng.integers(0, 256, (b, h, wd, 3)) / 255.0,
+                       jnp.float32)
+    img1 = jnp.asarray(rng.integers(0, 256, (b, h, wd, 3)) / 255.0,
+                       jnp.float32)
+    fl0 = jnp.asarray(rng.normal(size=(b, h, wd, 2)) * 3, jnp.float32)
+    fl1 = jnp.asarray(rng.normal(size=(b, h, wd, 2)) * 3, jnp.float32)
+    t = jnp.full((b, h, wd, 1), 0.5, jnp.float32)
+    flow = jnp.asarray(rng.normal(size=(b, h, wd, 4)), jnp.float32)
+
+    cin, cout = 11, 16  # 3+3+1+4 part channels
+    hwio = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.01, jnp.float32)
+    node = LN("rife.WarpCatConv", "t",
+              ["i0", "f0", "i1", "f1", "tp", "fl"], ["o"],
+              {0: cout, 1: 3, 3: 2, 4: 1, 5: 1, 9: 2,
+               -23310: [1, 0.2], 26: [1, 1, 0, 0]})
+    ctx = {
+        "w": {"t": {"hwio": hwio, "bias": bias}},
+        "use_pallas_warp": True,
+        "planar_all": True,  # lift the min-resolution gate for test shapes
+        "u8_image_blobs": frozenset(("i0", "i1")),
+    }
+    inputs = [img0, fl0, img1, fl1, t, flow]
+    with pltpu.force_tpu_interpret_mode():
+        fast = np.asarray(jax_ops._op_warp_cat_conv(node, inputs, None,
+                                                    ctx)[0])
+    os.environ["RIFE_TPU_FUSE_WARPCAT"] = "0"
+    try:
+        ref = np.asarray(jax_ops._op_warp_cat_conv(node, inputs, None,
+                                                   {**ctx,
+                                                    "use_pallas_warp": False}
+                                                   )[0])
+    finally:
+        os.environ.pop("RIFE_TPU_FUSE_WARPCAT", None)
+    assert fast.shape == ref.shape == (b, h // 2, wd // 2, cout)
+    np.testing.assert_allclose(fast, ref, atol=5e-5, rtol=1e-4)
