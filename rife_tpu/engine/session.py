@@ -286,17 +286,24 @@ class RIFE:
 
     def build_step_fn(self, pad_h: int, pad_w: int, *,
                       use_pallas: Optional[bool] = None,
-                      warp_variant: Optional[str] = None):
+                      warp_variant: Optional[str] = None,
+                      spatial_warp: Optional[tuple] = None):
         """The raw (unjitted) end-to-end step ``(W, in0, in1, t) -> u8``;
         sharded wrappers in ``rife_tpu.parallel`` re-jit this with mesh
-        shardings.  ``use_pallas=False`` forces the XLA warp (required under
-        GSPMD spatial sharding — custom calls cannot be auto-partitioned).
+        shardings.  ``use_pallas=False`` forces the XLA warp (GSPMD can
+        auto-partition a gather but not a Pallas custom call).
+        ``spatial_warp=(mesh, height_axis, batch_axis)`` routes every warp
+        through the height-sharded shard_map path (per-shard Pallas slab
+        kernel over an all-gathered source frame, jax_ops.warp_spatial) —
+        the giant-frame mode where frame height is split across chips.
         ``warp_variant`` pins the u8 warp kernel choice into the traced
         step (the auto-probe's resolution; overrides the env default)."""
         cfg = self.cfg
         extra = cfg.extra_ctx
         if use_pallas is False:
             extra = extra + (("use_pallas_warp", False),)
+        if spatial_warp is not None:
+            extra = extra + (("spatial_warp", spatial_warp),)
         if warp_variant is not None:
             extra = extra + (("warp_variant", warp_variant),)
         if extra is not cfg.extra_ctx:

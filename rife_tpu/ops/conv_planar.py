@@ -242,6 +242,11 @@ def _conv_s1_direct_kernel(x_hbm, w_ref, b_ref, s_ref, o_ref, band, rolled,
 
     @pl.when((i == 0) & (j == 0))
     def _zero_margins():
+        # as in the s2 kernel: the PERSISTENT zero region is only cols
+        # [w_in, bandw) — never DMA'd, so zeroing once persists.  Channel
+        # slot tails inside [0, w_in) are re-DMA'd every tile; the Mosaic
+        # alignment fix zero-pads the operands themselves, so that refill
+        # carries zeros and is idempotent.
         band[...] = jnp.zeros_like(band[...])
 
     def dma(src_rows0, src_nrows, dst_row0):

@@ -280,6 +280,54 @@ def warp_at(image, sy, sx):
     return top * (1 - beta) + bot * beta
 
 
+def warp_spatial(image, sy, sx, ctx, *, u8=False, variant="auto"):
+    """Height-sharded backward warp for giant frames split across a mesh
+    axis (``ctx['spatial_warp'] = (mesh, height_axis, batch_axis)``).
+
+    Each shard all-gathers the SOURCE frame over the spatial axis (ICI)
+    and samples only its own output rows — a backward warp may read any
+    source row (the flow is data), so the only exact "halo" is the whole
+    frame, and at u8 frame sizes the gather is cheap next to the sharded
+    activations GSPMD keeps local.  u8-origin images ride the Pallas slab
+    kernel per shard (replacing the partitioned-XLA-gather fallback that
+    measured ~1000x Pallas cost at 4K, BASELINE.md round-1); float
+    features take a dense local gather on the gathered source.  Output
+    rows match unsharded execution exactly (same float math, global
+    coordinates).  Reference long-frame analog: UHD mode
+    /root/reference/src/rife.cpp:294-332 (no spatial tiling exists there).
+    """
+    mesh, axis, baxis = ctx["spatial_warp"]
+    from jax.sharding import PartitionSpec as SP
+
+    n_sp = int(mesh.shape[axis])
+    n_b = int(mesh.shape[baxis]) if baxis is not None else 1
+    if (image.shape[1] % n_sp or sy.shape[1] % n_sp
+            or image.shape[0] % n_b):
+        # shard_map needs evenly divisible block shapes; odd pyramid levels
+        # (non-32-aligned inputs) fall back to the partitioned XLA gather
+        return warp_at(image, sy, sx)
+    if u8 and ctx.get("use_pallas_warp"):
+        from .warp_pallas import warp_pallas_spatial
+
+        pos = jnp.stack([sx, sy], axis=-1)
+        return warp_pallas_spatial(
+            image, pos, mesh, axis, batch_axis=baxis,
+            u8_origin=True, variant=variant,
+        )
+
+    img_spec = SP(baxis, axis, None, None)
+    pos_spec = SP(baxis, axis, None)
+
+    def local(img, syl, sxl):
+        full = lax.all_gather(img, axis, axis=1, tiled=True)
+        return warp_at(full, syl, sxl)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(img_spec, pos_spec, pos_spec),
+        out_specs=img_spec, check_vma=False,
+    )(image, sy, sx)
+
+
 def pixel_shuffle(x, r):
     """torch.pixel_shuffle semantics in NHWC: C = c*r^2 + i*r + j.
 
@@ -596,14 +644,15 @@ def _op_warp_ds4(node, inputs, w, ctx):
     sx = gx[None] + flow_c[..., 0].astype(jnp.float32)
     sy = gy[None] + flow_c[..., 1].astype(jnp.float32)
 
+    if ctx.get("spatial_warp") is not None:
+        u8 = _is_u8_warp(node.bottoms[0], image, ctx)
+        _warp_debug(node, "spatial_ds4", image, ctx, u8=u8, out=(ho, wo))
+        y = warp_spatial(image, sy, sx, ctx, u8=u8)
+        return [_downsample_axis(_downsample_axis(y, 2, 1), 2, 2)]
     if ctx.get("use_pallas_warp"):
         from .warp_pallas import fits_vmem, warp_pallas
 
-        u8 = (
-            not ctx.get("no_u8_warp")
-            and image.shape[-1] <= 4
-            and node.bottoms[0] in ctx.get("u8_image_blobs", ())
-        )
+        u8 = _is_u8_warp(node.bottoms[0], image, ctx)
         # the u8 slab variant streams source bands at any size; the float
         # kernels stage the whole SOURCE plane in VMEM (output grid is
         # decoupled, so the residency bound is the source resolution)
@@ -636,7 +685,8 @@ def _op_warp_ds2(node, inputs, w, ctx):
     dtype)."""
     image, flow = inputs[0], inputs[1]
     h, wid = image.shape[1], image.shape[2]
-    if not (h % 2 or wid % 2) and ctx.get("use_pallas_warp"):
+    if (not (h % 2 or wid % 2) and ctx.get("use_pallas_warp")
+            and ctx.get("spatial_warp") is None):
         u8 = (
             not ctx.get("no_u8_warp")
             and image.shape[-1] <= 4
@@ -652,16 +702,31 @@ def _op_warp_ds2(node, inputs, w, ctx):
     return [resize2d(y, int(round(h * 0.5)), int(round(wid * 0.5)))]
 
 
+def _is_u8_warp(blob, image, ctx) -> bool:
+    return (
+        not ctx.get("no_u8_warp")
+        and image.shape[-1] <= 4
+        and blob in ctx.get("u8_image_blobs", ())
+    )
+
+
 def _op_warp(node, inputs, w, ctx):
     image, flow = inputs[0], inputs[1]
+    if ctx.get("spatial_warp") is not None:
+        h, wd = image.shape[1], image.shape[2]
+        gy = lax.broadcasted_iota(jnp.float32, (h, wd), 0)
+        gx = lax.broadcasted_iota(jnp.float32, (h, wd), 1)
+        sx = gx[None] + flow[..., 0].astype(jnp.float32)
+        sy = gy[None] + flow[..., 1].astype(jnp.float32)
+        u8 = _is_u8_warp(node.bottoms[0], image, ctx)
+        variant = ctx.get("warp_variant") or os.environ.get(
+            "RIFE_TPU_WARP_VARIANT", "auto")
+        _warp_debug(node, "spatial", image, ctx, u8=u8)
+        return [warp_spatial(image, sy, sx, ctx, u8=u8, variant=variant)]
     if ctx.get("use_pallas_warp"):
         from .warp_pallas import fits_vmem, warp_pallas
 
-        u8 = (
-            not ctx.get("no_u8_warp")
-            and image.shape[-1] <= 4
-            and node.bottoms[0] in ctx.get("u8_image_blobs", ())
-        )
+        u8 = _is_u8_warp(node.bottoms[0], image, ctx)
         # u8-origin warps stream slabs at any size; the float kernels need
         # the whole plane resident in VMEM
         if u8 or fits_vmem(image.shape[1], image.shape[2]):
@@ -677,14 +742,21 @@ def _op_warp(node, inputs, w, ctx):
 def _render_warp(img, fl, blob, node, ctx):
     """One render warp: Pallas-routed exactly like _op_warp, but keyed on
     an explicit image blob name (the fused node carries two images)."""
+    if ctx.get("spatial_warp") is not None:
+        h, wd = img.shape[1], img.shape[2]
+        gy = lax.broadcasted_iota(jnp.float32, (h, wd), 0)
+        gx = lax.broadcasted_iota(jnp.float32, (h, wd), 1)
+        sx = gx[None] + fl[..., 0].astype(jnp.float32)
+        sy = gy[None] + fl[..., 1].astype(jnp.float32)
+        u8 = _is_u8_warp(blob, img, ctx)
+        variant = ctx.get("warp_variant") or os.environ.get(
+            "RIFE_TPU_WARP_VARIANT", "auto")
+        _warp_debug(node, "spatial_render", img, ctx, u8=u8)
+        return warp_spatial(img, sy, sx, ctx, u8=u8, variant=variant)
     if ctx.get("use_pallas_warp"):
         from .warp_pallas import fits_vmem, warp_pallas
 
-        u8 = (
-            not ctx.get("no_u8_warp")
-            and img.shape[-1] <= 4
-            and blob in ctx.get("u8_image_blobs", ())
-        )
+        u8 = _is_u8_warp(blob, img, ctx)
         if u8 or fits_vmem(img.shape[1], img.shape[2]):
             variant = ctx.get("warp_variant") or os.environ.get(
                 "RIFE_TPU_WARP_VARIANT", "auto")

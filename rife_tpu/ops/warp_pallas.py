@@ -1884,6 +1884,7 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
 
 
 def warp_pallas_spatial(image, pos, mesh, axis: str, *,
+                        batch_axis: Optional[str] = None,
                         u8_origin: bool = True, variant: str = "auto",
                         planar_out: bool = False):
     """Height-sharded backward warp on the Pallas slab kernel.
@@ -1905,7 +1906,7 @@ def warp_pallas_spatial(image, pos, mesh, axis: str, *,
     (UHD mode); multi-GPU loop main.cpp:819-866."""
     from jax.sharding import PartitionSpec as SP
 
-    spec = SP(None, axis, None, None)
+    spec = SP(batch_axis, axis, None, None)
 
     def local(img, ps):
         full = lax.all_gather(img, axis, axis=1, tiled=True)
@@ -1915,7 +1916,7 @@ def warp_pallas_spatial(image, pos, mesh, axis: str, *,
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec),
-        out_specs=SP(None, axis, None, None), check_vma=False,
+        out_specs=spec, check_vma=False,
     )(image, pos)
 
 

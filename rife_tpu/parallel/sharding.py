@@ -111,11 +111,17 @@ class ShardedRIFE:
                 )
                 fn = jax.jit(mapped)
             else:
-                # spatial (height) sharding: windows cross shard boundaries,
-                # so GSPMD must insert halo exchanges — that requires the
-                # XLA warp (partitionable gather), not the Pallas kernel
+                # spatial (height) sharding: conv/resize windows cross shard
+                # boundaries and GSPMD inserts their halo exchanges; the
+                # warps — where a partitioned XLA gather measured ~1000x the
+                # Pallas cost (BASELINE.md round-1, 44 s vs 17 ms at 4K) —
+                # route through shard_map instead: all-gather the u8 source
+                # frame over ICI, run the Pallas slab kernel on each shard's
+                # own output rows (jax_ops.warp_spatial)
                 raw = self.session.build_step_fn(
-                    pad_to(h), pad_to(w), use_pallas=False
+                    pad_to(h), pad_to(w),
+                    spatial_warp=(self.mesh, self.height_axis,
+                                  self.batch_axis),
                 )
                 fn = jax.jit(
                     raw,

@@ -66,6 +66,23 @@ def test_spatial_parallel_height_sharding():
     assert (diff == 0).mean() > 0.99
 
 
+def test_spatial_sharding_v4_matches_unsharded():
+    """v4.6 under height sharding: every warp (plain, fused-ds4, render)
+    takes the shard_map spatial path (jax_ops.warp_spatial) — all-gathered
+    source, per-shard sampling — and must match unsharded execution."""
+    s = RIFE("rife-v4.6")
+    mesh = make_mesh_2d(2, 4)
+    sh = ShardedRIFE(s, mesh, batch_axis="data", height_axis="spatial")
+    in0 = np.stack([mkframe(64, 64, 11), mkframe(64, 64, 12)])
+    in1 = np.stack([mkframe(64, 64, 13), mkframe(64, 64, 14)])
+    ts = np.asarray([0.5, 0.25], np.float32)
+    out = sh.process_batch(in0, in1, ts)
+    ref = s.process_batch(in0, in1, ts)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+
 def test_partition_tasks():
     tasks = list(range(10))
     parts = [partition_tasks(tasks, r, 3) for r in range(3)]

@@ -33,6 +33,13 @@ MODES = [
         "RIFE_TPU_FUSE_PS": "0",
         "RIFE_TPU_LAYOUT_PS": "0",
     }),
+    ("region, absorber-only anchors (round-4 default)", {
+        "RIFE_TPU_LAYOUT": "region",
+        "RIFE_TPU_LAYOUT_CONV": "0",
+        "RIFE_TPU_LAYOUT_DECONV": "0",
+        "RIFE_TPU_FUSE_PS": "1",
+        "RIFE_TPU_LAYOUT_PS": "1",
+    }),
 ]
 
 
