@@ -151,6 +151,35 @@ def conv2d_s2d(x, w2_hwio, bias):
     return y
 
 
+def _interleave_minor(a, b):
+    """Interleave two equal-shape bf16 arrays along the MINOR axis:
+    out[..., 2i] = a[..., i], out[..., 2i+1] = b[..., i].
+
+    Implemented as u32 word packing (little-endian: the low half-word is
+    the even element), i.e. pure elementwise bitcasts the VPU fuses into
+    the producers — XLA's stack+reshape form of the same movement emits a
+    (…,n,2) transpose copy with T(2,128) tiling that measured 8-14 ms per
+    full-res tensor in the v4.6 step (the PixelShuffle/upsample
+    interleaves).  Bit-exact: data movement only."""
+    au = lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+    bu = lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    w = au | (bu << 16)
+    # bitcast u32 -> u16 appends a trailing 2-axis (little-endian order)
+    return lax.bitcast_convert_type(
+        lax.bitcast_convert_type(w, jnp.uint16), jnp.bfloat16
+    ).reshape(*a.shape[:-1], a.shape[-1] * 2)
+
+
+def _interleave_list_minor(ps):
+    """out[n*m + p] = ps[p][..., m] on the minor axis, by recursive pair
+    interleaving (evens feed the low half-words): exact for n = 2^k."""
+    if len(ps) == 1:
+        return ps[0]
+    return _interleave_minor(
+        _interleave_list_minor(ps[0::2]), _interleave_list_minor(ps[1::2])
+    )
+
+
 def _upsample_axis(x, n: int, axis: int):
     """Exact half-pixel bilinear x``n`` upsample along ``axis`` via phase
     decomposition: out[n*m+p] = (1-f_p)*in[m+d_p] + f_p*in[m+d_p+1].  Pure
@@ -170,10 +199,47 @@ def _upsample_axis(x, n: int, axis: int):
         a = jnp.take(x, lo, axis=axis)
         bb = jnp.take(x, hi, axis=axis)
         phases.append(a * jnp.asarray(1.0 - f, x.dtype) + bb * jnp.asarray(f, x.dtype))
+    if (axis == x.ndim - 1 and x.dtype == jnp.bfloat16
+            and n & (n - 1) == 0
+            and os.environ.get("RIFE_TPU_BITCAST_RESIZE", "0") != "0"):
+        # minor-axis phase recomposition via u32 word packing
+        # (_interleave_minor).  Measured NET-NEGATIVE as the default
+        # (headline 49.3 -> 45.7): between elementwise neighbours XLA
+        # already recomposes phases by layout assignment, and the integer
+        # packing forces a real materialization.  Kept as a knob; the win
+        # shows only where the consumer forces materialization anyway
+        # (pixel_shuffle's NCHW interleave).
+        return _interleave_list_minor(phases)
     stacked = jnp.stack(phases, axis=axis + 1)  # (..., size, n, ...)
     new_shape = list(x.shape)
     new_shape[axis] = size * n
     return stacked.reshape(new_shape)
+
+
+def _deinterleave_minor(x):
+    """Split the minor axis into (even, odd) element streams — the inverse
+    of _interleave_minor, same elementwise-bitcast rationale (a strided
+    lane slice is a relayout copy; halfword extraction is VPU arithmetic
+    the producers fuse)."""
+    xu = lax.bitcast_convert_type(x, jnp.uint16)
+    w = lax.bitcast_convert_type(
+        xu.reshape(*x.shape[:-1], x.shape[-1] // 2, 2), jnp.uint32
+    )
+    even = lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    odd = lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16)
+    return even, odd
+
+
+def _destride_minor(x, n: int, start: int):
+    """x[..., start::n] for power-of-two n via recursive deinterleaving."""
+    if n == 1:
+        return x
+    even, odd = _deinterleave_minor(x)
+    if start % 2 == 0:
+        return _destride_minor(even, n // 2, start // 2)
+    return _destride_minor(odd, n // 2, start // 2)
 
 
 def _downsample_axis(x, n: int, axis: int):
@@ -183,6 +249,10 @@ def _downsample_axis(x, n: int, axis: int):
     size = x.shape[axis]
 
     def take(start):
+        if (axis == x.ndim - 1 and x.dtype == jnp.bfloat16
+                and n & (n - 1) == 0 and size % n == 0
+                and os.environ.get("RIFE_TPU_BITCAST_RESIZE", "0") != "0"):
+            return _destride_minor(x, n, start)
         sl = [slice(None)] * x.ndim
         sl[axis] = slice(start, size, n)
         return x[tuple(sl)]
@@ -338,6 +408,17 @@ def pixel_shuffle(x, r):
     c = crr // (r * r)
     if crr <= 32:
         y = x.transpose(0, 3, 1, 2).reshape(b, c, r, r, h, w)
+        if (r == 2 and x.dtype == jnp.bfloat16 and os.environ.get(
+                "RIFE_TPU_BITCAST_RESIZE", "0") != "0"):
+            # W-interleave as elementwise word packing.  Measured a WASH
+            # on the v4.6 headline (48.9 vs 49.3 fps): the u32 packing
+            # replaces the T(2,128) transpose copies but adds VPU passes
+            # XLA cannot fuse into the surrounding chain.  Same knob as
+            # the resize interleaves; kept as a measured dead end.
+            rows = [_interleave_minor(y[:, :, i, 0], y[:, :, i, 1])
+                    for i in range(2)]
+            out = jnp.stack(rows, axis=3).reshape(b, c, h * 2, w * 2)
+            return out.transpose(0, 2, 3, 1)
         y = y.transpose(0, 1, 4, 2, 5, 3).reshape(b, c, h * r, w * r)
         return y.transpose(0, 2, 3, 1)
     x = x.reshape(b, h, w, c, r, r)
