@@ -30,6 +30,7 @@ from ..graph.rewrite import (
     fuse_prelu_activations,
     fuse_quarter_downscaled_warps,
     fuse_render_blend,
+    fuse_sibling_warps,
     fuse_warps_into_cat_conv,
 )
 from ..models.zoo import LoadedModel, load_model
@@ -206,6 +207,13 @@ class RIFE:
                 graph = fuse_render_blend(
                     graph, frozenset(_EXTRACTABLE.get(name, ()))
                 )
+            if os.environ.get("RIFE_TPU_FUSE_WARPPAIR", "1") != "0":
+                # pair the two frame warps of each refinement scale into
+                # one node -> one pallas_call (halves the Mosaic per-cell
+                # fixed cost; graph/rewrite.py fuse_sibling_warps).  Runs
+                # after fuse_render_blend so the dead render warps are
+                # not resurrected into a live pair.
+                graph = fuse_sibling_warps(graph)
             if flat_nhwc and os.environ.get(
                     "RIFE_TPU_FUSE_WARPCAT", "0") != "0":
                 # measured NET-NEGATIVE on the flat path (49.2 -> 47.0 fps

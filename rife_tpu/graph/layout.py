@@ -184,6 +184,7 @@ def plan_layouts(
             layout[i] = _conv_constraint(node, shapes, ctx)
             continue
         if node.type in ("rife.Warp", "rife.WarpDs4", "rife.WarpDs2",
+                         "rife.WarpPair", "rife.WarpDs4Pair",
                          "rife.RenderBlend"):
             req = _warp_constraint(node, shapes, ctx)
             if req is not None:

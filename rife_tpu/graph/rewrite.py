@@ -536,3 +536,87 @@ def fuse_quarter_downscaled_warps(
     if n_rewrites == 0:
         return graph
     return _rebuild(nodes, list(graph.input_blobs))
+
+
+def fuse_sibling_warps(graph: Graph) -> Graph:
+    """Pair independent same-type warp nodes into one two-warp node.
+
+    The v4 flownet warps BOTH input frames at every refinement scale
+    (warp_2+warp_3, warp_4+warp_5 in rife-v4.6,
+    /root/reference/models/rife-v4.6/flownet.param — each block consumes
+    the warped frame PAIR).  On TPU each Pallas warp call pays a Mosaic
+    per-grid-cell fixed cost (~6 us x B*H/8 cells — the measured
+    empty-range floor, ops/warp_pallas.py); one pallas_call that runs both
+    warps back-to-back over shared scratch pays it once.  This rewrite
+    turns two ``rife.Warp`` nodes into ``rife.WarpPair`` (and two
+    ``rife.WarpDs4`` into ``rife.WarpDs4Pair``) with bottoms
+    ``[img_a, flow_a, img_b, flow_b]`` and tops ``[out_a, out_b]``.
+
+    Exactness: the pair kernels run the identical accumulate body per
+    image (ops/warp_pallas.py::warp_pallas_pair — bit-identical to two
+    calls); the op handler falls back to two single-warp lowerings when
+    the fused kernel's gates don't hold.
+
+    Safety: both tops survive (no blob disappears), so extraction needs no
+    protected set.  A pair only forms when (a) both warps are LIVE (their
+    tops have a consumer — pairing a dead warp with a live one would
+    resurrect it: the executor is demand-driven and a demanded pair runs
+    both bodies), and (b) the SECOND node's inputs are all produced before
+    the FIRST node (the pair executes at the first node's position), or
+    symmetrically nothing between them consumes the first node's tops (the
+    pair executes at the second node's position)."""
+    nodes = list(graph.nodes)
+    counts = _consumer_counts(nodes)
+    produced_at: Dict[str, int] = {}
+    for idx, node in enumerate(nodes):
+        for top in node.tops:
+            produced_at[top] = idx
+
+    PAIRABLE = {"rife.Warp": "rife.WarpPair",
+                "rife.WarpDs4": "rife.WarpDs4Pair"}
+
+    def live(node: LayerNode) -> bool:
+        return all(counts.get(t, 0) > 0 for t in node.tops)
+
+    candidates = [
+        i for i, n in enumerate(nodes)
+        if n.type in PAIRABLE and len(n.bottoms) == 2 and live(n)
+    ]
+    taken: set = set()
+    pairs = []  # (i, j, position)
+    for a_pos, i in enumerate(candidates):
+        if i in taken:
+            continue
+        for j in candidates[a_pos + 1:]:
+            if j in taken or nodes[j].type != nodes[i].type:
+                continue
+            if all(produced_at.get(b, -1) < i for b in nodes[j].bottoms):
+                pairs.append((i, j, i))
+            else:
+                tops_i = set(nodes[i].tops)
+                between = nodes[i + 1 : j]
+                if any(b in tops_i for n in between for b in n.bottoms):
+                    continue
+                pairs.append((i, j, j))
+            taken.add(i)
+            taken.add(j)
+            break
+    if not pairs:
+        return graph
+
+    replaced: Dict[int, LayerNode] = {}
+    dropped: set = set()
+    for i, j, pos in pairs:
+        a, b = nodes[i], nodes[j]
+        replaced[pos] = LayerNode(
+            PAIRABLE[a.type], f"{a.name}+{b.name}",
+            list(a.bottoms) + list(b.bottoms),
+            list(a.tops) + list(b.tops), {},
+        )
+        dropped.add(i if pos == j else j)
+    out: List[LayerNode] = []
+    for idx, node in enumerate(nodes):
+        if idx in dropped:
+            continue
+        out.append(replaced.get(idx, node))
+    return _rebuild(out, list(graph.input_blobs))

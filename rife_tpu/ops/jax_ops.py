@@ -716,14 +716,8 @@ def _op_warp_ds4(node, inputs, w, ctx):
     if h % 4 or wid % 4:  # padded canvases are 32-aligned; belt-and-braces
         y = _op_warp(node, inputs, w, ctx)[0]
         return [resize2d(y, int(round(h * 0.25)), int(round(wid * 0.25)))]
-    flow_c = _compact_taps4(_compact_taps4(flow, 1), 2)
-    ho, wo = h // 2, wid // 2
-    iy = lax.broadcasted_iota(jnp.int32, (ho, wo), 0)
-    ix = lax.broadcasted_iota(jnp.int32, (ho, wo), 1)
-    gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(jnp.float32)
-    gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(jnp.float32)
-    sx = gx[None] + flow_c[..., 0].astype(jnp.float32)
-    sy = gy[None] + flow_c[..., 1].astype(jnp.float32)
+    sx, sy = _ds4_abs_positions(image, flow)
+    ho, wo = sx.shape[1], sx.shape[2]
 
     if ctx.get("spatial_warp") is not None:
         u8 = _is_u8_warp(node.bottoms[0], image, ctx)
@@ -820,6 +814,118 @@ def _op_warp(node, inputs, w, ctx):
     return [warp(image, flow)]
 
 
+def _pair_kernel_ok_base(ctx) -> bool:
+    """Config gates for the fused two-warp pallas_call (warp_pallas_pair):
+    Pallas on, no spatial sharding, the slab/tall/inflow variant selected,
+    RIFE_TPU_WARP_PAIR not disabled."""
+    if os.environ.get("RIFE_TPU_WARP_PAIR", "1") == "0":
+        return False
+    if not ctx.get("use_pallas_warp") or ctx.get("spatial_warp") is not None:
+        return False
+    variant = ctx.get("warp_variant") or os.environ.get(
+        "RIFE_TPU_WARP_VARIANT", "auto")
+    if variant not in ("auto", "slab"):
+        return False
+    return not (
+        os.environ.get("RIFE_TPU_WARP_U8_TALL", "1") == "0"
+        or os.environ.get("RIFE_TPU_WARP_INFLOW", "1") == "0"
+    )
+
+
+def _pair_kernel_ok(node, img_a, img_b, flow_a, flow_b, ctx) -> bool:
+    """Full gates: base config + both images u8-origin quad-eligible on
+    the same grids.  Anything else falls back to two single-warp
+    lowerings (identical semantics)."""
+    return (
+        _pair_kernel_ok_base(ctx)
+        and img_a.shape == img_b.shape
+        and flow_a.shape == flow_b.shape
+        and _is_u8_warp(node.bottoms[0], img_a, ctx)
+        and _is_u8_warp(node.bottoms[2], img_b, ctx)
+    )
+
+
+def _single_warp_node(node, half: int):
+    """Shim LayerNode for one half of a pair node (fallback lowering)."""
+    from ..graph.ir import LayerNode
+
+    return LayerNode(
+        "rife.Warp", f"{node.name}__half{half}",
+        node.bottoms[2 * half : 2 * half + 2], node.tops[half : half + 1],
+        {},
+    )
+
+
+def _op_warp_pair(node, inputs, w, ctx):
+    """rife.WarpPair (graph/rewrite.py fuse_sibling_warps): the two
+    frame warps of one refinement scale in a single pallas_call — one
+    Mosaic grid walk and one scratch set instead of two (the per-cell
+    fixed cost is ~40% of a smooth-flow warp's runtime, BASELINE.md).
+    Reference sites: /root/reference/models/rife-v4.6/flownet.param
+    warp_2/warp_3 and warp_4/warp_5 pairs."""
+    img_a, flow_a, img_b, flow_b = inputs
+    if _pair_kernel_ok(node, img_a, img_b, flow_a, flow_b, ctx):
+        from .warp_pallas import warp_pallas_pair
+
+        _warp_debug(node, "pallas_pair", img_a, ctx, u8=True)
+        out_a, out_b = warp_pallas_pair(img_a, flow_a, img_b, flow_b)
+        return [out_a, out_b]
+    _warp_debug(node, "pair_fallback", img_a, ctx)
+    return [
+        _op_warp(_single_warp_node(node, 0), [img_a, flow_a], w, ctx)[0],
+        _op_warp(_single_warp_node(node, 1), [img_b, flow_b], w, ctx)[0],
+    ]
+
+
+def _ds4_abs_positions(image, flow):
+    """Absolute sample positions of the compacted 1/4-downsample tap grid
+    (rows/cols {4i+1, 4i+2}) — shared by _op_warp_ds4 and the pair form."""
+    h, wid = image.shape[1], image.shape[2]
+    flow_c = _compact_taps4(_compact_taps4(flow, 1), 2)
+    ho, wo = h // 2, wid // 2
+    iy = lax.broadcasted_iota(jnp.int32, (ho, wo), 0)
+    ix = lax.broadcasted_iota(jnp.int32, (ho, wo), 1)
+    gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(jnp.float32)
+    gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(jnp.float32)
+    sx = gx[None] + flow_c[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow_c[..., 1].astype(jnp.float32)
+    return sx, sy
+
+
+def _op_warp_ds4_pair(node, inputs, w, ctx):
+    """rife.WarpDs4Pair: both fused warp-then-1/4-downscale taps of a
+    block entry in one pallas_call (see _op_warp_ds4 for the tap-grid
+    algebra and _op_warp_pair for why pairing pays)."""
+    img_a, flow_a, img_b, flow_b = inputs
+    h, wid = img_a.shape[1], img_a.shape[2]
+    if (h % 4 == 0 and wid % 4 == 0
+            and _pair_kernel_ok(node, img_a, img_b, flow_a, flow_b, ctx)):
+        from .warp_pallas import warp_pallas_pair
+
+        sxa, sya = _ds4_abs_positions(img_a, flow_a)
+        sxb, syb = _ds4_abs_positions(img_b, flow_b)
+        _warp_debug(node, "pallas_ds4_pair", img_a, ctx, u8=True,
+                    out=sxa.shape[1:])
+        y_a, y_b = warp_pallas_pair(
+            img_a, jnp.stack([sxa, sya], axis=-1),
+            img_b, jnp.stack([sxb, syb], axis=-1), abs_pos=True)
+        return [
+            _downsample_axis(_downsample_axis(y_a, 2, 1), 2, 2),
+            _downsample_axis(_downsample_axis(y_b, 2, 1), 2, 2),
+        ]
+    _warp_debug(node, "ds4_pair_fallback", img_a, ctx)
+
+    def half(i, img, fl):
+        from ..graph.ir import LayerNode
+
+        shim = LayerNode("rife.WarpDs4", f"{node.name}__half{i}",
+                         node.bottoms[2 * i : 2 * i + 2],
+                         node.tops[i : i + 1], {})
+        return _op_warp_ds4(shim, [img, fl], w, ctx)[0]
+
+    return [half(0, img_a, flow_a), half(1, img_b, flow_b)]
+
+
 def _render_warp(img, fl, blob, node, ctx):
     """One render warp: Pallas-routed exactly like _op_warp, but keyed on
     an explicit image blob name (the fused node carries two images)."""
@@ -874,8 +980,19 @@ def _op_render_blend(node, inputs, w, ctx):
         and node.bottoms[2] in ctx.get("u8_image_blobs", ())
     )
     if ctx.get("use_pallas_warp") and u8_ok:
-        from .warp_pallas import warp_pallas
+        from .warp_pallas import warp_pallas, warp_pallas_pair
 
+        if _pair_kernel_ok(node, img_m, img_inv, flow_m, flow_inv, ctx):
+            # one pallas_call: both warps + the mask blend in-kernel —
+            # only the 3 blended planes ever reach HBM (the composed form
+            # writes 6 warped planes and reads them back for the blend)
+            _warp_debug(node, "pallas_render_fused", img_m, ctx, u8=True)
+            out = warp_pallas_pair(
+                img_m, flow_m, img_inv, flow_inv,
+                mask[..., 0], blend=True, planar_out=True)
+            if planar_out:
+                return [out]
+            return [out.transpose(0, 1, 3, 2)]
         variant = ctx.get("warp_variant") or os.environ.get(
                 "RIFE_TPU_WARP_VARIANT", "auto")
         _warp_debug(node, "pallas_render_planar", img_m, ctx, u8=True,
@@ -1011,7 +1128,9 @@ OP_TABLE = {
     "rife.ConvPS": _op_conv_ps,
     "rife.DeconvPS": _op_conv_ps,
     "rife.Warp": _op_warp,
+    "rife.WarpPair": _op_warp_pair,
     "rife.WarpDs4": _op_warp_ds4,
+    "rife.WarpDs4Pair": _op_warp_ds4_pair,
     "rife.WarpDs2": _op_warp_ds2,
     "rife.RenderBlend": _op_render_blend,
     "rife.WarpCatConv": _op_warp_cat_conv,

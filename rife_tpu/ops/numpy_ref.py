@@ -301,4 +301,20 @@ OP_TABLE = {
             warp(i[0], i[1]), i[0].shape[1] // 4, i[0].shape[2] // 4
         )
     ],
+    # fused render tail (graph/rewrite.py fuse_render_blend): the oracle
+    # keeps the composed warp+blend algebra
+    "rife.RenderBlend": lambda n, i, w, c: [
+        warp(i[0], i[1]) * i[4] + warp(i[2], i[3]) * (1.0 - i[4])
+    ],
+    # paired sibling warps (graph/rewrite.py fuse_sibling_warps): the
+    # oracle runs the two halves independently
+    "rife.WarpPair": lambda n, i, w, c: [warp(i[0], i[1]), warp(i[2], i[3])],
+    "rife.WarpDs4Pair": lambda n, i, w, c: [
+        resize_bilinear(
+            warp(i[0], i[1]), i[0].shape[1] // 4, i[0].shape[2] // 4
+        ),
+        resize_bilinear(
+            warp(i[2], i[3]), i[2].shape[1] // 4, i[2].shape[2] // 4
+        ),
+    ],
 }

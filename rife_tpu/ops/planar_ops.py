@@ -318,11 +318,11 @@ def _op_binaryop(node, inputs, w, ctx):
     return [J.binary_op(op, a, b)]
 
 
-def _warp_u8_eligible(node, image_bhcw, ctx) -> bool:
+def _warp_u8_eligible(node, image_bhcw, ctx, img_slot: int = 0) -> bool:
     return (
         not ctx.get("no_u8_warp")
         and image_bhcw.shape[CH_AXIS] <= 4
-        and node.bottoms[0] in ctx.get("u8_image_blobs", ())
+        and node.bottoms[img_slot] in ctx.get("u8_image_blobs", ())
     )
 
 
@@ -383,6 +383,75 @@ def _op_warp_ds4_planar(node, inputs, w, ctx):
     return [J._downsample_axis(J._downsample_axis(y, 2, 1), 2, 3)]
 
 
+def _op_warp_pair_planar(node, inputs, w, ctx):
+    """rife.WarpPair on BHCW: planes are the pair kernel's native layout,
+    so the fused path (both u8-quad, slab/tall/inflow) runs one
+    pallas_call; otherwise two single planar warps (identical math)."""
+    img_a, flow_a, img_b, flow_b = inputs
+    u8_ok = (J._pair_kernel_ok_base(ctx)
+             and img_a.shape == img_b.shape
+             and flow_a.shape == flow_b.shape
+             and _warp_u8_eligible(node, img_a, ctx, img_slot=0)
+             and _warp_u8_eligible(node, img_b, ctx, img_slot=2))
+    if u8_ok:
+        from .warp_pallas import warp_pallas_pair
+
+        J._warp_debug(node, "pallas_pair_planar", img_a, ctx, u8=True)
+        out_a, out_b = warp_pallas_pair(img_a, flow_a, img_b, flow_b,
+                                        planar=True)
+        return [out_a, out_b]
+    J._warp_debug(node, "pair_fallback_planar", img_a, ctx)
+    return [
+        _op_warp_planar(J._single_warp_node(node, 0), [img_a, flow_a],
+                        w, ctx)[0],
+        _op_warp_planar(J._single_warp_node(node, 1), [img_b, flow_b],
+                        w, ctx)[0],
+    ]
+
+
+def _op_warp_ds4_pair_planar(node, inputs, w, ctx):
+    """rife.WarpDs4Pair on BHCW (see jax_ops._op_warp_ds4_pair)."""
+    def half(i, img, fl):
+        shim = J._single_warp_node(node, i)
+        shim = type(shim)("rife.WarpDs4", shim.name, shim.bottoms,
+                          shim.tops, {})
+        return _op_warp_ds4_planar(shim, [img, fl], w, ctx)[0]
+
+    img_a, flow_a, img_b, flow_b = inputs
+    h, wid = img_a.shape[1], img_a.shape[3]
+    u8_ok = (h % 4 == 0 and wid % 4 == 0
+             and J._pair_kernel_ok_base(ctx)
+             and img_a.shape == img_b.shape
+             and flow_a.shape == flow_b.shape
+             and _warp_u8_eligible(node, img_a, ctx, img_slot=0)
+             and _warp_u8_eligible(node, img_b, ctx, img_slot=2))
+    if u8_ok:
+        from jax import lax
+
+        from .warp_pallas import warp_pallas_pair
+
+        def pos(flow):
+            flow_c = J._compact_taps4(J._compact_taps4(flow, 1), 3)
+            ho, wo = h // 2, wid // 2
+            iy = lax.broadcasted_iota(jnp.int32, (ho, wo), 0)
+            ix = lax.broadcasted_iota(jnp.int32, (ho, wo), 1)
+            gy = ((iy // 2) * 4 + 1 + (iy % 2)).astype(jnp.float32)
+            gx = ((ix // 2) * 4 + 1 + (ix % 2)).astype(jnp.float32)
+            sx = gx[None] + flow_c[:, :, 0, :].astype(jnp.float32)
+            sy = gy[None] + flow_c[:, :, 1, :].astype(jnp.float32)
+            return jnp.stack([sx, sy], axis=2)  # (B,Ho,2,Wo)
+
+        J._warp_debug(node, "pallas_ds4_pair_planar", img_a, ctx, u8=True)
+        y_a, y_b = warp_pallas_pair(img_a, pos(flow_a), img_b, pos(flow_b),
+                                    abs_pos=True, planar=True)
+        return [
+            J._downsample_axis(J._downsample_axis(y_a, 2, 1), 2, 3),
+            J._downsample_axis(J._downsample_axis(y_b, 2, 1), 2, 3),
+        ]
+    J._warp_debug(node, "ds4_pair_fallback_planar", img_a, ctx)
+    return [half(0, img_a, flow_a), half(1, img_b, flow_b)]
+
+
 def _op_warp_ds2_planar(node, inputs, w, ctx):
     """rife.WarpDs2 on BHCW (fused warp + exact 1/2 downscale; see
     jax_ops._op_warp_ds2 for the phase decomposition)."""
@@ -438,5 +507,7 @@ OP_TABLE_PLANAR = {
     "rife.Warp": _op_warp_planar,
     "rife.WarpDs4": _op_warp_ds4_planar,
     "rife.WarpDs2": _op_warp_ds2_planar,
+    "rife.WarpPair": _op_warp_pair_planar,
+    "rife.WarpDs4Pair": _op_warp_ds4_pair_planar,
     "rife.RenderBlend": _op_render_blend_planar,
 }

@@ -908,6 +908,25 @@ def _slab_tall_body(img_hbm, y0_full, x0_full, a_full, b_full,
     Coarsening to ns stripes divides that fixed cost by ns and dedupes the
     band DMAs that adjacent stripes of a smooth flow share (band range per
     stripe ~spread+1; union over ns stripes ~spread+ns)."""
+    _slab_tall_accumulate(
+        img_hbm, y0_full, x0_full, a_full, b_full,
+        slab, acc0, acc1, acc2, sem,
+        nt_w=nt_w, h_max=h_max, w_max=w_max, ns=ns,
+    )
+    scale = jnp.float32(1.0 / 255.0)
+    o0_ref[0] = (acc0[...] * scale).astype(o0_ref.dtype)
+    o1_ref[0] = (acc1[...] * scale).astype(o1_ref.dtype)
+    o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
+
+
+def _slab_tall_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
+                          slab, acc0, acc1, acc2, sem, *,
+                          nt_w: int, h_max: int, w_max: int, ns: int = 1):
+    """Band-walking accumulation core of the TALL slab kernel: zeroes the
+    three f32 accumulators, streams the referenced source bands and leaves
+    the 255-scaled channel sums in ``acc0..2``.  Factored out so the PAIR
+    kernels (one pallas_call, two warps — the per-cell fixed cost and the
+    accumulator/slab scratch are paid once for both) can run it twice."""
     zeros_row = jnp.zeros(acc0.shape, jnp.float32)
     acc0[...] = zeros_row
     acc1[...] = zeros_row
@@ -1038,10 +1057,112 @@ def _slab_tall_body(img_hbm, y0_full, x0_full, a_full, b_full,
         return carry
 
     lax.fori_loop(band_lo, band_hi + 1, band_body, 0)
+
+
+def _inkernel_corners(sx_ref, sy_ref, *, h_max: int, w_max: int,
+                      raw_flow: bool = False):
+    """floor/clip index+fraction chain from the flow operands — the exact
+    f32 op sequence of the XLA driver (bit-identical).
+
+    ``raw_flow=False``: the refs hold absolute sample positions (f32).
+    ``raw_flow=True``: the refs hold the RAW flow planes in their graph
+    dtype (bf16) — the kernel adds the output-grid iota itself (f32 iota +
+    f32(flow), the driver's own op order), so the driver never materializes
+    the two full-resolution f32 position planes per warp (8 B/px written +
+    read back, plus an edge-pad pass — ~2 GB of HBM round-trip per warp
+    pair at B=30 1080p).  Zero-padded flow columns/rows decode to identity
+    positions (sample = own pixel), which keeps every window's dynamic
+    band/tile range benign — unlike zero-padded INDEX operands, which drag
+    ranges to the frame origin (see pad2_edge in the driver)."""
+    if raw_flow:
+        fx = sx_ref[0].astype(jnp.float32)
+        fy = sy_ref[0].astype(jnp.float32)
+        # integer iota (Mosaic's tpu.iota is int-only), exact f32 converts
+        rows0 = pl.program_id(1) * fx.shape[0]
+        gy = (lax.broadcasted_iota(jnp.int32, fx.shape, 0) + rows0).astype(
+            jnp.float32)
+        gx = lax.broadcasted_iota(jnp.int32, fx.shape, 1).astype(jnp.float32)
+        sx = gx + fx
+        sy = gy + fy
+    else:
+        sx = sx_ref[0]
+        sy = sy_ref[0]
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w_max)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h_max)
+    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    return y0, x0, alpha, beta
+
+
+def _warp_kernel_u8_slab_tall_flow_pair(
+        img_a_hbm, img_b_hbm, sxa_ref, sya_ref, sxb_ref, syb_ref,
+        oa0, oa1, oa2, ob0, ob1, ob2,
+        slab, acc0, acc1, acc2, sem, *,
+        nt_w: int, h_max: int, w_max: int, ns: int = 1,
+        raw_flow: bool = False):
+    """PAIR form of the inflow TALL slab kernel: TWO independent warps on
+    the same output grid (different sources, different flows) in one
+    pallas_call.  The v4 graph warps its frame pair at every refinement
+    scale (warp_2+warp_3, warp_4+warp_5, the render pair —
+    /root/reference/models/rife-v4.6/flownet.param); as separate calls each
+    pays the full Mosaic per-cell fixed cost (~6 us x B*H/8 cells — the
+    measured ~20 ms empty-range floor per warp at B=24 1080p).  One call
+    with two sequential accumulate passes pays it once, reusing the same
+    slab and accumulator scratch; the band DMAs and gather work are
+    unchanged (different sources cannot share them)."""
     scale = jnp.float32(1.0 / 255.0)
-    o0_ref[0] = (acc0[...] * scale).astype(o0_ref.dtype)
-    o1_ref[0] = (acc1[...] * scale).astype(o1_ref.dtype)
-    o2_ref[0] = (acc2[...] * scale).astype(o2_ref.dtype)
+    ya, xa, aa, ba = _inkernel_corners(sxa_ref, sya_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_tall_accumulate(img_a_hbm, ya, xa, aa, ba,
+                          slab, acc0, acc1, acc2, sem,
+                          nt_w=nt_w, h_max=h_max, w_max=w_max, ns=ns)
+    oa0[0] = (acc0[...] * scale).astype(oa0.dtype)
+    oa1[0] = (acc1[...] * scale).astype(oa1.dtype)
+    oa2[0] = (acc2[...] * scale).astype(oa2.dtype)
+    yb, xb, ab, bb = _inkernel_corners(sxb_ref, syb_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_tall_accumulate(img_b_hbm, yb, xb, ab, bb,
+                          slab, acc0, acc1, acc2, sem,
+                          nt_w=nt_w, h_max=h_max, w_max=w_max, ns=ns)
+    ob0[0] = (acc0[...] * scale).astype(ob0.dtype)
+    ob1[0] = (acc1[...] * scale).astype(ob1.dtype)
+    ob2[0] = (acc2[...] * scale).astype(ob2.dtype)
+
+
+def _warp_kernel_u8_slab_tall_flow_render(
+        img_m_hbm, img_i_hbm, sxm_ref, sym_ref, sxi_ref, syi_ref, mask_ref,
+        o0, o1, o2,
+        slab, acc0, acc1, acc2, st0, st1, st2, sem, *,
+        nt_w: int, h_max: int, w_max: int, ns: int = 1,
+        raw_flow: bool = False):
+    """RENDER form of the pair kernel: warp both frames and blend by the
+    fusion mask in-kernel — ``out = warp_m*mask + warp_i*(1-mask)`` — so
+    only the three blended planes are ever written to HBM (the unfused
+    blend reads back 6 planes and writes 3 more).  The two warp results
+    round-trip through the output dtype (``st0..2`` stash scratch) before
+    the blend, exactly like the composed ops, so results stay
+    bit-identical to two ``warp_pallas`` calls + an XLA blend.
+    Blend algebra: /root/reference/models/rife-v4.6/flownet.param:208-217
+    tail; graph/rewrite.py fuse_render_blend."""
+    scale = jnp.float32(1.0 / 255.0)
+    ym, xm, am, bm = _inkernel_corners(sxm_ref, sym_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_tall_accumulate(img_m_hbm, ym, xm, am, bm,
+                          slab, acc0, acc1, acc2, sem,
+                          nt_w=nt_w, h_max=h_max, w_max=w_max, ns=ns)
+    st0[...] = (acc0[...] * scale).astype(st0.dtype)
+    st1[...] = (acc1[...] * scale).astype(st1.dtype)
+    st2[...] = (acc2[...] * scale).astype(st2.dtype)
+    yi, xi, ai, bi = _inkernel_corners(sxi_ref, syi_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_tall_accumulate(img_i_hbm, yi, xi, ai, bi,
+                          slab, acc0, acc1, acc2, sem,
+                          nt_w=nt_w, h_max=h_max, w_max=w_max, ns=ns)
+    m = mask_ref[0]
+    one = jnp.asarray(1.0, m.dtype)
+    o0[0] = st0[...] * m + (acc0[...] * scale).astype(o0.dtype) * (one - m)
+    o1[0] = st1[...] * m + (acc1[...] * scale).astype(o1.dtype) * (one - m)
+    o2[0] = st2[...] * m + (acc2[...] * scale).astype(o2.dtype) * (one - m)
 
 
 def _warp_kernel_u8_slab_tall(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
@@ -1066,7 +1187,7 @@ def _warp_kernel_u8_slab_tall_flow(img_hbm, sx_ref, sy_ref,
                                    o0_ref, o1_ref, o2_ref,
                                    slab, acc0, acc1, acc2, sem, *,
                                    nt_w: int, h_max: int, w_max: int,
-                                   ns: int = 1):
+                                   ns: int = 1, raw_flow: bool = False):
     """Inflow TALL slab kernel: the sample indices/weights are computed
     IN-KERNEL from the absolute sample positions instead of being
     materialized by the XLA driver.
@@ -1081,12 +1202,8 @@ def _warp_kernel_u8_slab_tall_flow(img_hbm, sx_ref, sy_ref,
     — results are bit-identical; VPU cost is a few elementwise ops over
     an (8, W) tile, noise next to the operand DMA it replaces).
     ``w_max``/``h_max`` bound the clips exactly as the driver did."""
-    sx = sx_ref[0]
-    sy = sy_ref[0]
-    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w_max)
-    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h_max)
-    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
-    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    y0, x0, alpha, beta = _inkernel_corners(
+        sx_ref, sy_ref, h_max=h_max, w_max=w_max, raw_flow=raw_flow)
     _slab_tall_body(
         img_hbm, y0, x0, alpha, beta,
         o0_ref, o1_ref, o2_ref, slab, acc0, acc1, acc2, sem,
@@ -1806,18 +1923,31 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
             ns = max(1, int(os.environ.get("RIFE_TPU_WARP_NS", "1")))
             hp_m = _round_up(ho, TH * ns)
             n_rows = hp_m // TH
+            # raw-flow form: hand the kernel the flow PLANES in their graph
+            # dtype (bf16) and let it add the grid iota itself — halves the
+            # position-operand bytes vs f32 sx/sy and skips their pad pass
+            # entirely (zero-padded flow decodes to identity positions,
+            # which keeps the dynamic ranges benign; see _inkernel_corners)
+            raw = not abs_pos
+            if raw:
+                # raw flow planes in the GRAPH dtype (_flow_xy upcasts to
+                # f32 — the kernel does that conversion itself)
+                if planar:
+                    sx, sy = flow[:, :, 0, :], flow[:, :, 1, :]
+                else:
+                    sx, sy = flow[..., 0], flow[..., 1]
 
             def padf(v):
                 return jnp.pad(
                     v,
                     ((0, 0), (0, hp_m - v.shape[1]),
                      (0, wp_o - v.shape[2])),
-                    mode="edge",
+                    **({} if raw else {"mode": "edge"}),
                 )
 
             kernel = functools.partial(
                 _warp_kernel_u8_slab_tall_flow, nt_w=nt_w,
-                h_max=h - 1, w_max=w - 1, ns=ns,
+                h_max=h - 1, w_max=w - 1, ns=ns, raw_flow=raw,
             )
             blk = pl.BlockSpec(
                 (1, ns * TH, wp_o), lambda i, j: (i, j, 0),
@@ -1881,6 +2011,154 @@ def _warp_pallas_u8_impl_any(image, flow, *, slab_mode: bool,
         return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
     out = jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
     return out
+
+
+def _pair_words_and_pos(image, flow, *, planar: bool, abs_pos: bool):
+    """u8-quad word packing + flow/position operands for one (image, flow)
+    operand pair of the PAIR kernels — the same arithmetic packing as
+    `_warp_pallas_u8_impl_any`.
+
+    abs_pos=True: returns absolute f32 sample positions (the WarpDs4 tap
+    grid).  abs_pos=False: returns the RAW flow planes in their graph
+    dtype — the kernel derives positions in-kernel (raw_flow mode), so the
+    full-res f32 position planes are never materialized."""
+    if planar:
+        b, h, c, w = image.shape
+    else:
+        b, h, w, c = image.shape
+
+    def _chan_u8(i):
+        plane = image[:, :, i, :] if planar else image[..., i]
+        return jnp.round(
+            jnp.clip(plane.astype(jnp.float32), 0.0, 1.0) * 255.0
+        ).astype(jnp.int32)
+
+    words = _chan_u8(0)
+    for ci in range(1, c):
+        words = words | (_chan_u8(ci) << (8 * ci))  # (B,H,W)
+
+    if planar:
+        fx, fy = flow[:, :, 0, :], flow[:, :, 1, :]
+    else:
+        fx, fy = flow[..., 0], flow[..., 1]
+    if abs_pos:
+        fx = fx.astype(jnp.float32)
+        fy = fy.astype(jnp.float32)
+        ho, wo = fx.shape[1], fx.shape[2]
+    else:
+        ho, wo = h, w
+    return words, fx, fy, (b, h, w, c, ho, wo)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("planar", "planar_out", "blend", "abs_pos"),
+)
+def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
+                     planar: bool = False, planar_out: bool | None = None,
+                     blend: bool = False, abs_pos: bool = False):
+    """TWO u8-origin quad-packed warps on the same output grid in ONE
+    pallas_call (inflow TALL slab kernels) — one Mosaic grid walk, one
+    slab/accumulator scratch set, two sequential accumulate passes.
+
+    Without ``blend``: returns ``(warp(img_a, flow_a), warp(img_b,
+    flow_b))``, each bit-identical to `warp_pallas(..., u8_origin=True)`
+    on the slab/tall/inflow path.  With ``blend=True``, ``mask`` is the
+    (B,Ho,Wo) fusion mask and the single blended frame
+    ``wa*mask + wb*(1-mask)`` is returned — the v4 render tail
+    (graph/rewrite.py fuse_render_blend) in one kernel.
+
+    ``abs_pos=True``: the flows carry ABSOLUTE sample positions on an
+    output grid smaller than the source (the fused WarpDs4 pairs).
+
+    Callers gate on u8-quad eligibility and the slab variant; every other
+    configuration should use two `warp_pallas` calls."""
+    if planar_out is None:
+        planar_out = planar
+    out_dtype = img_a.dtype
+    words_a, sxa, sya, (b, h, w, c, ho, wo) = _pair_words_and_pos(
+        img_a, flow_a, planar=planar, abs_pos=abs_pos)
+    words_b, sxb, syb, _ = _pair_words_and_pos(
+        img_b, flow_b, planar=planar, abs_pos=abs_pos)
+
+    hp, wp = _round_up(h, TH), _round_up(w, LANE)
+    hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)
+    nt_w = wp_o // LANE
+
+    def pad_src(x):
+        return jnp.pad(
+            x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])))
+
+    def pad_edge(v):
+        return jnp.pad(
+            v, ((0, 0), (0, hp_o - v.shape[1]), (0, wp_o - v.shape[2])),
+            mode="edge")
+
+    def pad_zero(v):
+        # raw-flow operands pad with ZEROS: padded entries decode to
+        # identity sample positions in-kernel (benign for the dynamic
+        # ranges), and on lane/sublane-aligned frames (the 1080p headline)
+        # this pad is a no-op the compiler drops entirely
+        return jnp.pad(
+            v, ((0, 0), (0, hp_o - v.shape[1]), (0, wp_o - v.shape[2])))
+
+    words_a, words_b = pad_src(words_a), pad_src(words_b)
+    raw_flow = not abs_pos
+    pad_pos = pad_zero if raw_flow else pad_edge
+    pos = [pad_pos(v) for v in (sxa, sya, sxb, syb)]
+
+    img_spec = pl.BlockSpec(memory_space=pl.ANY)
+    blk = pl.BlockSpec(
+        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    grid = (b, hp_o // TH)
+    scratch = [
+        pltpu.VMEM((TH, wp), jnp.int32),      # slab (shared, sequential)
+        pltpu.VMEM((TH, wp_o), jnp.float32),  # acc r
+        pltpu.VMEM((TH, wp_o), jnp.float32),  # acc g
+        pltpu.VMEM((TH, wp_o), jnp.float32),  # acc b
+    ]
+
+    if blend:
+        kernel = functools.partial(
+            _warp_kernel_u8_slab_tall_flow_render,
+            nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
+        scratch = scratch + [
+            pltpu.VMEM((TH, wp_o), out_dtype),  # stash: warp_m planes
+            pltpu.VMEM((TH, wp_o), out_dtype),
+            pltpu.VMEM((TH, wp_o), out_dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[img_spec] * 2 + [blk] * 5,
+            out_specs=[blk] * 3,
+            out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 3,
+            scratch_shapes=scratch,
+        )(words_a, words_b, *pos, pad_edge(mask.astype(out_dtype)))
+        if planar_out:
+            return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
+        return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
+
+    kernel = functools.partial(
+        _warp_kernel_u8_slab_tall_flow_pair,
+        nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
+    scratch = scratch + [pltpu.SemaphoreType.DMA]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[img_spec] * 2 + [blk] * 4,
+        out_specs=[blk] * 6,
+        out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 6,
+        scratch_shapes=scratch,
+    )(words_a, words_b, *pos)
+
+    def fin(three):
+        if planar_out:
+            return jnp.stack(three, axis=2)[:, :ho, :c, :wo]
+        return jnp.stack(three, axis=-1)[:, :ho, :wo, :c]
+
+    return fin(outs[:3]), fin(outs[3:])
 
 
 def warp_pallas_spatial(image, pos, mesh, axis: str, *,
