@@ -91,7 +91,7 @@ def main():
     if platform == "cpu":  # CI fallback: tiny config so the line still prints
         fps = measure(batch=1, iters=1)
     else:
-        fps = measure(batch=24, iters=5)  # B=32 exhausts HBM at 1080p
+        fps = measure(batch=30, iters=5)  # B=32 exhausts HBM at 1080p
     print(
         json.dumps(
             {

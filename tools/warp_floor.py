@@ -1,7 +1,23 @@
-"""Current u8 warp variant standings at the production shape (B=24 1080p,
-mix-synthesis-like smooth flows) — the VERDICT round-3 target is <=5 ms.
+"""Cost split of the PAIR warp kernel: structural floor vs gather work.
 
-Run: python -u tools/warp_floor.py [B] [H W]
+Times warp_pallas_pair on the headline shape (B x 1088 x 1920) under three
+flow regimes:
+
+  zero    flow == 0 everywhere: every stripe's band range collapses to its
+          own source band and the x-tile span to ~1 tile, so the gather
+          loop runs its minimum iteration count.  What remains is the
+          structural floor: per-cell fixed cost, operand loads, in-kernel
+          corner math, band DMA, accumulator zero/writes, output writes.
+  smooth  the calibrated-synthetic statistics (~2-6 px, low spatial
+          frequency) — the headline workload.
+  rough   RIFE_TPU_SYNTH_MODE=iid-like spatially-white +-8 px flow — the
+          adversarial regime (routes to the band kernel in production via
+          the auto probe; timed here on the pair kernel for the split).
+
+The smooth-minus-zero delta is the gather work a smarter inner loop could
+still win; zero is the floor no gather change can cross.
+
+Run: python -u tools/warp_floor.py [B]
 """
 
 from __future__ import annotations
@@ -15,52 +31,67 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def sync(x):
+    return np.asarray(x[0].ravel()[0])
+
+
+def timeit(fn, iters=10, warm=2):
+    for _ in range(warm):
+        sync(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from PIL import Image
 
-    from rife_tpu.ops.warp_pallas import warp_pallas
+    from rife_tpu.ops.warp_pallas import warp_pallas_pair
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    H = int(sys.argv[2]) if len(sys.argv) > 2 else 1088
-    W = int(sys.argv[3]) if len(sys.argv) > 3 else 1920
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    H, W = 1088, 1920
 
-    # smooth flow, ~RIFE-like stats: low-freq sin field, std ~4 px
-    yy = np.linspace(0, 6.28, H, dtype=np.float32)[:, None]
-    xx = np.linspace(0, 6.28, W, dtype=np.float32)[None, :]
-    fx = 4.0 * np.sin(3 * yy + 1.7 * xx)
-    fy = 3.0 * np.cos(2.2 * yy - 1.1 * xx)
-    flow = np.broadcast_to(
-        np.stack([fx, fy], -1)[None], (B, H, W, 2)
-    ).copy()
-    img = (np.random.default_rng(0)
-           .integers(0, 256, (1, H, W, 3)).astype(np.float32) / 255.0)
-    img = np.broadcast_to(img, (B, H, W, 3)).copy()
+    def load(path):
+        with Image.open(path) as im:
+            return np.asarray(
+                im.convert("RGB").resize((W, H), Image.BILINEAR), np.uint8)
 
-    di = jnp.asarray(img)
-    df = jnp.asarray(flow)
+    f0 = np.broadcast_to(load("/root/reference/images/0.png"),
+                         (B, H, W, 3)).copy()
+    f1 = np.broadcast_to(load("/root/reference/images/1.png"),
+                         (B, H, W, 3)).copy()
+    img_a = jnp.asarray(f0, jnp.bfloat16) / 255.0
+    img_b = jnp.asarray(f1, jnp.bfloat16) / 255.0
 
-    def timeit(fn, iters=10):
-        out = fn()
-        np.asarray(out[(0,) * out.ndim])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        np.asarray(out[(0,) * out.ndim])
-        return (time.perf_counter() - t0) / iters
+    yy = np.linspace(0, 4 * np.pi, H)[:, None]
+    xx = np.linspace(0, 4 * np.pi, W)[None, :]
+    zz = np.zeros((H, W))
+    regimes = {
+        "zero": (np.zeros((H, W, 2)), np.zeros((H, W, 2))),
+        "smooth": (
+            np.stack([3.0 * np.sin(yy + 0.5 * xx) + zz,
+                      2.0 * np.cos(xx) + zz], -1),
+            np.stack([-2.5 * np.cos(0.7 * yy) + zz,
+                      3.5 * np.sin(0.6 * xx + yy) + zz], -1),
+        ),
+        "rough": (
+            np.random.default_rng(0).uniform(-8, 8, (H, W, 2)),
+            np.random.default_rng(1).uniform(-8, 8, (H, W, 2)),
+        ),
+    }
 
-    import functools
-    for var in ["band", "delta", "slab", "sdelta"]:
-        # image/flow as jit ARGUMENTS: closing over them embeds them as
-        # HLO constants, which the remote-compile tunnel rejects (413)
-        f = jax.jit(functools.partial(
-            warp_pallas, u8_origin=True, u8_variant=var))
-        try:
-            dt = timeit(lambda f=f: f(di, df))
-            print(f"{var:7s}: {dt*1e3:7.2f} ms  "
-                  f"({dt*1e3/B:5.3f} ms/frame)", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"{var:7s}: FAILED {type(e).__name__}: {e}", flush=True)
+    # flows/images must be jit ARGUMENTS: closed-over arrays embed as
+    # program constants and blow the dev tunnel's compile-request limit
+    pair = jax.jit(lambda ia, fa, ib, fb: warp_pallas_pair(ia, fa, ib, fb))
+    for name, (fa, fb) in regimes.items():
+        flow_a = jnp.asarray(np.broadcast_to(fa, (B, H, W, 2)), jnp.bfloat16)
+        flow_b = jnp.asarray(np.broadcast_to(fb, (B, H, W, 2)), jnp.bfloat16)
+        t = timeit(lambda: pair(img_a, flow_a, img_b, flow_b)[0])
+        print(f"{name:7s}: {t:8.2f} ms")
 
 
 if __name__ == "__main__":
