@@ -594,7 +594,11 @@ def fuse_sibling_warps(graph: Graph) -> Graph:
                 pairs.append((i, j, i))
             else:
                 tops_i = set(nodes[i].tops)
-                between = nodes[i + 1 : j]
+                # Include node j itself: a warp consuming its sibling's
+                # output would otherwise fuse into a self-dependent pair
+                # whose own top appears among its bottoms (executor
+                # KeyError at run time).
+                between = nodes[i + 1 : j + 1]
                 if any(b in tops_i for n in between for b in n.bottoms):
                     continue
                 pairs.append((i, j, j))

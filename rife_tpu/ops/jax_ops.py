@@ -350,6 +350,23 @@ def warp_at(image, sy, sx):
     return top * (1 - beta) + bot * beta
 
 
+_spatial_fallback_warned: set = set()
+
+
+def _warn_spatial_fallback(shape, mesh_dims):
+    key = (tuple(shape), mesh_dims)
+    if key not in _spatial_fallback_warned:
+        _spatial_fallback_warned.add(key)
+        import warnings
+
+        warnings.warn(
+            f"warp_spatial: batch {shape[0]} not divisible by the batch "
+            f"mesh axis {mesh_dims[0]}; falling back to the partitioned "
+            f"XLA gather warp (~1000x the Pallas warp at 4K). Use a batch "
+            f"that is a multiple of the batch mesh extent.",
+            stacklevel=3)
+
+
 def warp_spatial(image, sy, sx, ctx, *, u8=False, variant="auto"):
     """Height-sharded backward warp for giant frames split across a mesh
     axis (``ctx['spatial_warp'] = (mesh, height_axis, batch_axis)``).
@@ -371,11 +388,37 @@ def warp_spatial(image, sy, sx, ctx, *, u8=False, variant="auto"):
 
     n_sp = int(mesh.shape[axis])
     n_b = int(mesh.shape[baxis]) if baxis is not None else 1
-    if (image.shape[1] % n_sp or sy.shape[1] % n_sp
-            or image.shape[0] % n_b):
-        # shard_map needs evenly divisible block shapes; odd pyramid levels
-        # (non-32-aligned inputs) fall back to the partitioned XLA gather
+    if image.shape[0] % n_b:
+        # batch not divisible by the batch mesh axis — a session config
+        # error rather than a shape accident; warn ONCE and fall back to
+        # the partitioned XLA gather (~1000x the Pallas warp at 4K,
+        # BASELINE.md round-1) instead of failing.
+        _warn_spatial_fallback(image.shape, (n_b, n_sp))
         return warp_at(image, sy, sx)
+    ho = sy.shape[1]
+    hs = image.shape[1]
+    if hs % n_sp or ho % n_sp:
+        # Shard_map needs evenly divisible block shapes; odd pyramid
+        # levels (non-32-aligned inputs, e.g. a 736-row 720p frame on an
+        # 8-shard mesh at the 1/8 tap -> 92 rows) get PADDED to the mesh
+        # multiple instead of silently reverting to the XLA gather.
+        # Source rows pad by edge replication: the kernels clamp sample
+        # rows to [0, padded_h-1], and every padded row equals the true
+        # last row, so any clamp/lerp that touches them reproduces the
+        # shader's clamp-to-edge exactly.  Padded OUTPUT rows are sliced
+        # off below.
+        hs_p = (hs + n_sp - 1) // n_sp * n_sp
+        ho_p = (ho + n_sp - 1) // n_sp * n_sp
+        if hs_p != hs:
+            image = jnp.pad(
+                image, ((0, 0), (0, hs_p - hs)) + ((0, 0),) * (image.ndim - 2),
+                mode="edge")
+        if ho_p != ho:
+            pad = ((0, 0), (0, ho_p - ho), (0, 0))
+            sy = jnp.pad(sy, pad, mode="edge")
+            sx = jnp.pad(sx, pad, mode="edge")
+        out = warp_spatial(image, sy, sx, ctx, u8=u8, variant=variant)
+        return out[:, :ho]
     if u8 and ctx.get("use_pallas_warp"):
         from .warp_pallas import warp_pallas_spatial
 
@@ -433,6 +476,9 @@ def apply_activation(x, act, params):
         return jnp.maximum(x, 0)
     if act == C.ACT_LEAKY:
         slope = jnp.asarray(params[0], dtype=x.dtype)
+        if (0.0 < float(params[0]) < 1.0
+                and os.environ.get("RIFE_TPU_LEAKY_MAX", "0") != "0"):
+            return jnp.maximum(x, x * slope)  # exact; see _op_relu
         return jnp.where(x >= 0, x, x * slope)
     if act == C.ACT_CLIP:
         return jnp.clip(x, params[0], params[1])
@@ -591,6 +637,11 @@ def _op_relu(node, inputs, w, ctx):
     slope = float(node.p(0, 0.0))
     if slope == 0.0:
         return [jnp.maximum(x, 0)]
+    if 0.0 < slope < 1.0 and os.environ.get("RIFE_TPU_LEAKY_MAX", "0") != "0":
+        # max(x, s*x) == where(x>=0, x, s*x) exactly for 0<s<1 (s*x is the
+        # same single rounding; for x<0, s*x > x; ties at +-0 are equal
+        # values) — one VPU op instead of compare+select (A/B knob)
+        return [jnp.maximum(x, x * jnp.asarray(slope, x.dtype))]
     return [jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))]
 
 
@@ -764,7 +815,7 @@ def _op_warp_ds2(node, inputs, w, ctx):
             and ctx.get("spatial_warp") is None):
         u8 = (
             not ctx.get("no_u8_warp")
-            and image.shape[-1] <= 4
+            and image.shape[-1] <= 3
             and node.bottoms[0] in ctx.get("u8_image_blobs", ())
         )
         if u8:
@@ -780,7 +831,7 @@ def _op_warp_ds2(node, inputs, w, ctx):
 def _is_u8_warp(blob, image, ctx) -> bool:
     return (
         not ctx.get("no_u8_warp")
-        and image.shape[-1] <= 4
+        and image.shape[-1] <= 3
         and blob in ctx.get("u8_image_blobs", ())
     )
 
@@ -817,7 +868,16 @@ def _op_warp(node, inputs, w, ctx):
 def _pair_kernel_ok_base(ctx) -> bool:
     """Config gates for the fused two-warp pallas_call (warp_pallas_pair):
     Pallas on, no spatial sharding, the slab/tall/inflow variant selected,
-    RIFE_TPU_WARP_PAIR not disabled."""
+    RIFE_TPU_WARP_PAIR not disabled.
+
+    Rough-flow routing: the session's one-time auto probe
+    (engine/session.py::_resolve_warp_variant) pins ``warp_variant='band'``
+    into ctx for spatially-rough flows, which this gate rejects — paired
+    warps then fall back to two single-warp lowerings that honor the band
+    variant, the same routing as unpaired warps.  'auto' here therefore
+    means "the probe classified the flow as smooth (or is disabled)", and
+    the slab pair kernel is the right choice; RIFE_TPU_WARP_PAIR=0 is the
+    manual escape hatch."""
     if os.environ.get("RIFE_TPU_WARP_PAIR", "1") == "0":
         return False
     if not ctx.get("use_pallas_warp") or ctx.get("spatial_warp") is not None:
@@ -974,8 +1034,8 @@ def _op_render_blend(node, inputs, w, ctx):
     planar_out = node.tops[0] in ctx.get("planar_outputs", ())
     u8_ok = (
         not ctx.get("no_u8_warp")
-        and img_m.shape[-1] <= 4
-        and img_inv.shape[-1] <= 4
+        and img_m.shape[-1] <= 3
+        and img_inv.shape[-1] <= 3
         and node.bottoms[0] in ctx.get("u8_image_blobs", ())
         and node.bottoms[2] in ctx.get("u8_image_blobs", ())
     )
@@ -1057,7 +1117,7 @@ def _op_warp_cat_conv(node, inputs, w, ctx):
     h, wid = specs[0][1].shape[1], specs[0][1].shape[2]
     u8s = ctx.get("u8_image_blobs", ())
     u8_ok = not ctx.get("no_u8_warp") and all(
-        (not is_warp) or (img.shape[-1] <= 4 and blob in u8s)
+        (not is_warp) or (img.shape[-1] <= 3 and blob in u8s)
         for is_warp, img, _, blob in specs
     )
     if (ctx.get("use_pallas_warp") and u8_ok

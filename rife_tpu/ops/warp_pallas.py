@@ -722,7 +722,8 @@ def _warp_kernel_u8(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
         def unpack3(g):
             c0 = (g & 0xFF).astype(jnp.float32)
             c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
-            c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+            # byte 3 is zero by construction (u8 packing gated to <=3 ch)
+            c2 = (g >> 16).astype(jnp.float32)
             return c0, c1, c2
 
         def band_body(band, accs):
@@ -811,7 +812,9 @@ def _warp_kernel_u8_delta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
         c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
-        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        # byte 3 is zero by construction (u8 packing is gated to <=3
+        # channels), so the top shift needs no mask
+        c2 = (g >> 16).astype(jnp.float32)
         return c0, c1, c2
 
     srow = lax.broadcasted_iota(jnp.int32, (TH, LANE), 0) + base_y
@@ -961,7 +964,9 @@ def _slab_tall_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
         c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
-        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        # byte 3 is zero by construction (u8 packing is gated to <=3
+        # channels), so the top shift needs no mask
+        c2 = (g >> 16).astype(jnp.float32)
         return c0, c1, c2
 
     def tall(v):  # (TH, LANE) -> (TH*TH, LANE): same window data per block
@@ -1247,7 +1252,9 @@ def _warp_kernel_u8_slab(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
         c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
-        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        # byte 3 is zero by construction (u8 packing is gated to <=3
+        # channels), so the top shift needs no mask
+        c2 = (g >> 16).astype(jnp.float32)
         return c0, c1, c2
 
     def band_body(band, carry):
@@ -1375,7 +1382,9 @@ def _warp_kernel_u8_slab_ds2(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
         c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
-        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        # byte 3 is zero by construction (u8 packing is gated to <=3
+        # channels), so the top shift needs no mask
+        c2 = (g >> 16).astype(jnp.float32)
         return c0, c1, c2
 
     def tall(v):  # (TH, LANE) -> (TH*TH, LANE): same window data per block
@@ -1483,7 +1492,7 @@ def _warp_kernel_u8_slab_ds2(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
 def _warp_pallas_u8_ds2_impl(image, flow, *, planar: bool = False):
     """Host driver for the fused warp+1/2-downsample u8 kernel.
 
-    ``image``: (B,H,W,C<=4) NHWC or (B,H,C,W) planar, u8-origin values;
+    ``image``: (B,H,W,C<=3) NHWC or (B,H,C,W) planar, u8-origin values;
     ``flow``: full-resolution flow on the SOURCE grid.  Output is the
     half-resolution warped-then-downscaled frame, bit-identical to
     ``warp_pallas(...)`` followed by ``resize2d(y, H/2, W/2)``."""
@@ -1573,7 +1582,7 @@ def _warp_pallas_u8_ds2_impl(image, flow, *, planar: bool = False):
 @functools.partial(jax.jit, static_argnames=("planar",))
 def warp_ds2_pallas(image, flow, planar: bool = False):
     """Fused backward warp + exact half-pixel bilinear 1/2 downsample for
-    u8-origin images (B,H,W,C<=4) x (B,H,W,2) -> (B,H/2,W/2,C); bit-exact
+    u8-origin images (B,H,W,C<=3) x (B,H,W,2) -> (B,H/2,W/2,C); bit-exact
     vs ``warp_pallas`` + ``resize2d`` (see _warp_kernel_u8_slab_ds2)."""
     return _warp_pallas_u8_ds2_impl(image, flow, planar=planar)
 
@@ -1621,7 +1630,9 @@ def _warp_kernel_u8_sdelta(img_hbm, y0_ref, x0_ref, a_ref, b_ref,
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
         c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
-        c2 = ((g >> 16) & 0xFF).astype(jnp.float32)
+        # byte 3 is zero by construction (u8 packing is gated to <=3
+        # channels), so the top shift needs no mask
+        c2 = (g >> 16).astype(jnp.float32)
         return c0, c1, c2
 
     # per-window source ranges: XLA-precomputed, scalar reads from SMEM
@@ -2073,11 +2084,18 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
 
     Callers gate on u8-quad eligibility and the slab variant; every other
     configuration should use two `warp_pallas` calls."""
+    if blend and mask is None:
+        raise ValueError("warp_pallas_pair(blend=True) requires the fusion "
+                         "mask (B,Ho,Wo); got mask=None")
     if planar_out is None:
         planar_out = planar
     out_dtype = img_a.dtype
     words_a, sxa, sya, (b, h, w, c, ho, wo) = _pair_words_and_pos(
         img_a, flow_a, planar=planar, abs_pos=abs_pos)
+    if c > 3:
+        # the pair kernels accumulate and emit exactly 3 planes; a
+        # 4-channel image would silently lose its alpha channel
+        raise ValueError(f"warp_pallas_pair supports <=3 channels, got {c}")
     words_b, sxb, syb, _ = _pair_words_and_pos(
         img_b, flow_b, planar=planar, abs_pos=abs_pos)
 
@@ -2254,7 +2272,7 @@ def warp_pallas(image, flow, u8_origin: bool = False,
         return out.transpose(0, 1, 3, 2)
 
     if abs_pos:
-        if u8_origin and n_chan <= 4:
+        if u8_origin and n_chan <= 3:
             return _warp_pallas_u8_impl_any(
                 image, flow, slab_mode=True, abs_pos=True, planar=planar,
                 planar_out=planar_out,
@@ -2265,7 +2283,7 @@ def warp_pallas(image, flow, u8_origin: bool = False,
                                                      planar=planar))
         return _fix_out(_warp_pallas_impl(image, flow, abs_pos=True,
                                           planar=planar))
-    if u8_origin and n_chan <= 4:
+    if u8_origin and n_chan <= 3:
         variant = u8_variant
         if variant == "auto":
             # slab wins in-graph at the smooth flows real RIFE weights

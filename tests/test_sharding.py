@@ -83,6 +83,44 @@ def test_spatial_sharding_v4_matches_unsharded():
     assert (diff == 0).mean() > 0.99
 
 
+def test_spatial_sharding_non_divisible_heights_no_gather_fallback(monkeypatch):
+    """Pyramid levels whose height is NOT divisible by the spatial mesh
+    extent (here 1/8- and 1/16-scale taps of a 96-row frame on an 8-shard
+    axis: 12 and 6 rows) must PAD to the mesh multiple and stay on the
+    sharded warp path — never silently revert to the partitioned XLA
+    gather the repo measured at ~1000x the Pallas cost at 4K
+    (VERDICT r4 #6)."""
+    from rife_tpu.ops import jax_ops
+
+    s = RIFE("rife-v2.3")
+    mesh = make_mesh_2d(1, 8)
+    sh = ShardedRIFE(s, mesh, batch_axis="data", height_axis="spatial")
+
+    calls = {"warn": 0, "spatial": 0}
+    real_spatial = jax_ops.warp_spatial
+
+    def spy_warn(shape, dims):
+        calls["warn"] += 1
+
+    def spy_spatial(image, sy, sx, ctx, **kw):
+        calls["spatial"] += 1
+        return real_spatial(image, sy, sx, ctx, **kw)
+
+    monkeypatch.setattr(jax_ops, "_warn_spatial_fallback", spy_warn)
+    monkeypatch.setattr(jax_ops, "warp_spatial", spy_spatial)
+
+    in0 = mkframe(96, 64, 21)[None]
+    in1 = mkframe(96, 64, 22)[None]
+    ts = np.asarray([0.5], np.float32)
+    out = sh.process_batch(in0, in1, ts)
+    ref = s.process_batch(in0, in1, ts)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+    assert calls["spatial"] > 0  # the spatial path was exercised
+    assert calls["warn"] == 0  # and never fell back to the XLA gather
+
+
 def test_partition_tasks():
     tasks = list(range(10))
     parts = [partition_tasks(tasks, r, 3) for r in range(3)]

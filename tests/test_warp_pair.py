@@ -53,6 +53,36 @@ def test_pairs_form_on_v46_flownet():
                        if b not in produced0}
 
 
+def test_no_self_dependent_pair_when_warp_consumes_sibling_output():
+    """A warp whose flow (or image) IS another warp's output must never fuse
+    with it: the pair would list its own top among its bottoms and the
+    demand-driven executor would KeyError.  Unreachable in the shipped RIFE
+    graphs (warps never consume warp outputs) but the rewrite is generic
+    over any parsed param graph (advisor round-4 finding)."""
+    from rife_tpu.graph.ir import Graph, LayerNode
+
+    def node(t, name, bottoms, tops):
+        return LayerNode(t, name, list(bottoms), list(tops), {})
+
+    nodes = [
+        node("Input", "in_img", [], ["img"]),
+        node("Input", "in_flow", [], ["flow"]),
+        node("rife.Warp", "warp_a", ["img", "flow"], ["wa"]),
+        # warp_b consumes warp_a's top: case A fails (produced_at == i) and
+        # case B's 'between' slice must include node j itself
+        node("rife.Warp", "warp_b", ["wa", "flow"], ["wb"]),
+        node("Concat", "sink", ["wa", "wb"], ["out"]),
+    ]
+    g = Graph(nodes=nodes,
+              producer={t: (i, s) for i, n in enumerate(nodes)
+                        for s, t in enumerate(n.tops)},
+              input_blobs=["img", "flow"])
+    g2 = fuse_sibling_warps(g)
+    assert g2.type_histogram().get("rife.WarpPair", 0) == 0
+    for n in g2.nodes:
+        assert not (set(n.bottoms) & set(n.tops)), n.name
+
+
 def test_pair_tops_order_matches_halves():
     _, g2 = _rewritten()
     for n in g2.nodes:
@@ -77,6 +107,36 @@ def test_forward_equivalence_pair_on_off(model, monkeypatch):
     b = RIFE(model, dtype="float32").process_batch(f0, f1, ts)
     assert np.array_equal(a, b)
     del jax
+
+
+def test_pair_gate_rejects_band_variant():
+    """The session auto-probe pins warp_variant='band' for rough flows;
+    the pair gate must reject it so paired warps fall back to the two
+    single-warp lowerings that honor the band kernel (advisor round-4)."""
+    from rife_tpu.ops.jax_ops import _pair_kernel_ok_base
+
+    base = {"use_pallas_warp": True, "spatial_warp": None}
+    assert _pair_kernel_ok_base({**base, "warp_variant": "auto"})
+    assert _pair_kernel_ok_base({**base, "warp_variant": "slab"})
+    assert not _pair_kernel_ok_base({**base, "warp_variant": "band"})
+    assert not _pair_kernel_ok_base({**base, "warp_variant": "delta"})
+
+
+def test_pair_api_boundary_errors():
+    """4-channel images and blend-without-mask fail loudly at the API
+    boundary instead of silently dropping a channel / raising an opaque
+    AttributeError (advisor round-4)."""
+    import jax.numpy as jnp
+
+    from rife_tpu.ops.warp_pallas import warp_pallas_pair
+
+    img3 = jnp.zeros((1, 16, 128, 3), jnp.float32)
+    img4 = jnp.zeros((1, 16, 128, 4), jnp.float32)
+    flow = jnp.zeros((1, 16, 128, 2), jnp.float32)
+    with pytest.raises(ValueError, match="<=3 channels"):
+        warp_pallas_pair(img4, flow, img4, flow)
+    with pytest.raises(ValueError, match="mask"):
+        warp_pallas_pair(img3, flow, img3, flow, blend=True)
 
 
 def test_oracle_runs_pair_graph():
