@@ -32,6 +32,7 @@ from ..graph.rewrite import (
     fuse_render_blend,
     fuse_sibling_warps,
     fuse_warps_into_cat_conv,
+    push_concat_through_interp,
 )
 from ..models.zoo import LoadedModel, load_model
 from ..ops import frame, jax_ops
@@ -192,6 +193,21 @@ class RIFE:
                     graph, frozenset(_EXTRACTABLE.get(name, ())),
                     flatten_nested=not flat_nhwc,
                 )
+            if (self.model.family != "v4"
+                    and os.environ.get("RIFE_TPU_CAT_INTERP", "1") != "0"):
+                # per-channel resize commutes with channel concat.  The
+                # v3.x block entries DOWNSCALE a full-res 6-10ch concat
+                # (Concat_133 -> Resize_135); XLA lane-pads that concat's
+                # channel axis 12.8-128x at small batch — the v3.1 1080p
+                # B=4 step exceeded HBM by ~9.8 GB of pure padding before
+                # this rewrite (BASELINE.md round-5).  Bit-identical on
+                # every non-v4 family (tests); v4 is excluded: its sites
+                # drift 1 u8 LSB on 0.01% of pixels (XLA re-contracts the
+                # lerp FMAs across the changed fusion boundary) and its
+                # program is the heavily-measured headline
+                graph = push_concat_through_interp(
+                    graph, frozenset(_EXTRACTABLE.get(name, ()))
+                )
             if os.environ.get("RIFE_TPU_FUSE_PS", "1") != "0":
                 # bake PixelShuffle channel regrouping into the producing
                 # conv/deconv (NHWC: plain composition; planar: weight
@@ -340,8 +356,17 @@ class RIFE:
             key = (b, ph, pw, variant)
             fn = self._step_cache.get(key)
             if fn is None:
-                fn = jax.jit(self.build_step_fn(
-                    ph, pw, warp_variant=variant))
+                if variant == "xla":
+                    # flow-independent XLA gather warp everywhere: every
+                    # fused warp op has an exact unfused/XLA fallback, so
+                    # the step loses the Pallas kernels but none of the
+                    # graph rewrites' semantics (worst-case hedge; see
+                    # _resolve_warp_variant)
+                    fn = jax.jit(self.build_step_fn(
+                        ph, pw, use_pallas=False))
+                else:
+                    fn = jax.jit(self.build_step_fn(
+                        ph, pw, warp_variant=variant))
                 self._step_cache[key] = fn
             return fn(W, in0, in1, ts)
 

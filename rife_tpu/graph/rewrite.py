@@ -624,3 +624,91 @@ def fuse_sibling_warps(graph: Graph) -> Graph:
             continue
         out.append(replaced.get(idx, node))
     return _rebuild(out, list(graph.input_blobs))
+
+
+def push_concat_through_interp(
+    graph: Graph, protected: frozenset = frozenset()
+) -> Graph:
+    """Swap ``Interp(Concat(parts...))`` into ``Concat(Interp(parts)...)``
+    when the channel-axis concat's ONLY consumer is the Interp.
+
+    Why: the v3.x flownets enter each pyramid level by bilinearly
+    DOWNSCALING the concat of (warped frame pair, flow)
+    (/root/reference/models/rife-v3.1/flownet.param Concat_133 ->
+    Resize_135), unlike v2.x whose block entries are stride-2 convs (those
+    concats are absorbed by fuse_concat_into_convs).  On TPU, XLA's layout
+    assignment puts the CONCAT axis of that full-resolution axis-2
+    (planar) / axis-3 (NHWC) concatenate on the 128-wide lane dimension,
+    lane-padding every 1-channel operand copy 128x — measured 1.99 GB per
+    plane at B=4 1080p (round-5 OOM analysis, BASELINE.md): the v3.1 step
+    exceeded HBM by ~9.8 GB of pure padding.  Resizing the parts FIRST
+    shrinks any badly-laid tensor by the scale factor squared and leaves
+    the full-res planes consumed only by layout-agnostic elementwise
+    chains.
+
+    Exactness: both nearest and half-pixel bilinear resizes (and the
+    jax.image.resize fallback) are strictly PER-CHANNEL — resize and
+    channel-concat commute element-for-element, so outputs are
+    bit-identical.
+
+    Only scale-factor DOWNSCALE Interps (params 1/2 < 1, no fixed output
+    size 3/4) are rewritten.  Upsample sites are deliberately left fused:
+    splitting v4.6's x2 flow upsamples measured a 1-LSB u8 drift on 0.01%
+    of pixels (XLA re-contracts the lerp FMAs across the new fusion
+    boundary), and the memory pathology this rewrite exists for is
+    specific to FULL-RESOLUTION concats, which only the downscale sites
+    consume.
+    """
+    counts = _consumer_counts(graph.nodes)
+    producer_idx: Dict[str, int] = {}
+    for idx, node in enumerate(graph.nodes):
+        for top in node.tops:
+            producer_idx[top] = idx
+
+    nodes = list(graph.nodes)
+    out: List[LayerNode] = []
+    rewritten = 0
+    for idx, node in enumerate(nodes):
+        if node.type != "Interp":
+            out.append(node)
+            continue
+        src = node.bottoms[0]
+        pidx = producer_idx.get(src)
+        cat = nodes[pidx] if pidx is not None else None
+        if (
+            cat is None
+            or cat.type != "Concat"
+            or int(cat.p(0, 0)) != 0  # channel-axis concats only
+            or counts.get(src, 0) != 1
+            or src in protected
+            # scale-factor resizes only (fixed sizes don't commute with
+            # per-part rounding of output dims)
+            or float(node.p(3, 0)) != 0
+            or float(node.p(4, 0)) != 0
+            # downscales only (see docstring)
+            or not 0 < float(node.p(1, 0)) < 1
+            or not 0 < float(node.p(2, 0)) < 1
+        ):
+            out.append(node)
+            continue
+        # replace: per-part Interp -> Concat at the resized resolution
+        part_tops = []
+        for k, part in enumerate(cat.bottoms):
+            t = f"{node.name}__part{k}"
+            out.append(LayerNode("Interp", f"{node.name}__p{k}", [part],
+                                 [t], dict(node.params)))
+            part_tops.append(t)
+        out.append(LayerNode("Concat", node.name, part_tops,
+                             list(node.tops), dict(cat.params)))
+        rewritten += 1
+    if not rewritten:
+        return graph
+    # drop concats that lost their only consumer
+    counts2 = _consumer_counts(out)
+    out = [
+        n for n in out
+        if not (n.type == "Concat"
+                and all(counts2.get(t, 0) == 0 and t not in protected
+                        for t in n.tops))
+    ]
+    return _rebuild(out, list(graph.input_blobs))

@@ -143,10 +143,23 @@ def _op_convolution_cat(node, inputs, w, ctx):
     cin, cout = hw.shape[2], hw.shape[3]
     h, wid = inputs[0].shape[1], inputs[0].shape[3]
     act, params = C.activation_of(node)
+    # conv_wants_planar's <=64-channel clause is a PERF gate; for the cat
+    # form the alternative is materializing the full-res concat, whose
+    # channel axis XLA lane-pads 12.8-128x at small batch (the v3.1 1080p
+    # B=4 step exceeded HBM by gigabytes of pure padding, BASELINE.md
+    # round-5) — so big cat-convs take the planar kernel up to 128
+    # channels even where a plain conv would stay on XLA.
+    wants = conv_wants_planar(node, h, wid, cin, cout, ctx)
+    if not wants and act in _ACT_MAP and len(inputs) > 1:
+        big = ctx.get("planar_all") or h * wid >= int(
+            ctx.get("planar_min_hw", 400_000))
+        wants = (big and dilation == 1 and k == 3 and pad == 1
+                 and stride == 2 and not (h % 2 or wid % 2)
+                 and max(cin, cout) <= 128)
     if (ctx.get("use_pallas_warp")
             and stride == 2
             and os.environ.get("RIFE_TPU_S2_DIRECT", "1") != "0"
-            and conv_wants_planar(node, h, wid, cin, cout, ctx)):
+            and wants):
         bias = ctx["w"][node.name]["bias"]
         slope = (ctx["w"][node.name].get("slope")
                  if act == C.ACT_PRELU_CH else None)

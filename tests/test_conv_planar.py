@@ -152,6 +152,10 @@ def test_conv_s1_direct_matches_padded_path(cin, cout, h, w, act):
     ((3, 3, 4), 16, 256, 48, ACT_LEAKY),   # v2 flownet block entry
     ((8, 4), 34, 960, 32, ACT_NONE),       # v4 block entry class
     ((3, 3, 1, 1, 4), 16, 120, 32, ACT_LEAKY),
+    # v3.x full-res block entry (cout=80 > the plain-conv perf gate's 64;
+    # enabled for the cat form to avoid materializing the full-res concat
+    # XLA lane-pads 12.8-128x at small batch — round-5 v3.1 OOM fix)
+    ((6, 4), 16, 256, 80, ACT_LEAKY),
 ])
 def test_conv_planar_cat_matches_concat(parts_c, h, w, cout, act):
     """ConvolutionCat kernel: parts DMA into band channel slots — must

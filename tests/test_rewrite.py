@@ -8,6 +8,7 @@ upsample_12).  The rewrite must (a) fire exactly on that pattern and
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -399,3 +400,71 @@ def test_fuse_warps_into_cat_conv_fast_path_matches_composed():
         os.environ.pop("RIFE_TPU_FUSE_WARPCAT", None)
     assert fast.shape == ref.shape == (b, h // 2, wd // 2, cout)
     np.testing.assert_allclose(fast, ref, atol=5e-5, rtol=1e-4)
+
+
+class TestPushConcatThroughInterp:
+    """push_concat_through_interp: the v3.x block-entry pattern
+    Interp(scale<1, Concat(parts)) splits into per-part downscales so the
+    full-res concat (whose channel axis XLA lane-pads 12.8-128x at small
+    batch — the round-5 v3.1 OOM) never materializes."""
+
+    PROT = frozenset(("flow", "flow0", "flow1", "flow2", "flow3", "out0",
+                      "f1", "f2", "f3", "f4", "output"))
+
+    def _no_cat_feeds_downscale(self, g):
+        producer = {}
+        for i, n in enumerate(g.nodes):
+            for t in n.tops:
+                producer[t] = n
+        for n in g.nodes:
+            if n.type != "Interp":
+                continue
+            if not (0 < float(n.p(1, 0)) < 1 and 0 < float(n.p(2, 0)) < 1
+                    and float(n.p(3, 0)) == 0 and float(n.p(4, 0)) == 0):
+                continue
+            p = producer.get(n.bottoms[0])
+            if p is not None and p.type == "Concat" and int(p.p(0, 0)) == 0:
+                return False
+        return True
+
+    def test_v31_flownet_structure(self):
+        from rife_tpu.graph.param import parse_param
+        from rife_tpu.graph.rewrite import push_concat_through_interp
+
+        g = parse_param("/root/reference/models/rife-v3.1/flownet.param")
+        assert not self._no_cat_feeds_downscale(g)  # pattern present raw
+        g2 = push_concat_through_interp(g, self.PROT)
+        assert self._no_cat_feeds_downscale(g2)
+        # every blob consumed still has a producer or is an input
+        produced = {t for n in g2.nodes for t in n.tops} | set(g2.input_blobs)
+        produced0 = ({t for n in g.nodes for t in n.tops}
+                     | set(g.input_blobs))
+        for n in g2.nodes:
+            for b in n.bottoms:
+                assert b in produced or b not in produced0
+
+    def test_upsamples_left_fused(self):
+        """Upsample(concat) sites (v4.6 flow upsamples) must NOT split —
+        splitting measured a 1-LSB FMA-contraction drift."""
+        from rife_tpu.graph.param import parse_param
+        from rife_tpu.graph.rewrite import push_concat_through_interp
+
+        g = parse_param("/root/reference/models/rife-v4.6/flownet.param")
+        g2 = push_concat_through_interp(g, self.PROT)
+        split = [n for n in g2.nodes if "__part" in n.name
+                 and not (0 < float(n.p(1, 0)) < 1)]
+        assert split == []
+
+    @pytest.mark.parametrize("model", ["rife-v3.1", "rife-v2.3"])
+    def test_forward_equivalence(self, model, monkeypatch):
+        from rife_tpu.engine.session import RIFE
+
+        rng = np.random.default_rng(11)
+        f0 = rng.integers(0, 256, (1, 64, 96, 3), np.uint8)
+        f1 = rng.integers(0, 256, (1, 64, 96, 3), np.uint8)
+        ts = np.array([0.5], np.float32)
+        monkeypatch.setenv("RIFE_TPU_CAT_INTERP", "1")
+        a = RIFE(model, dtype="float32").process_batch(f0, f1, ts)
+        monkeypatch.setenv("RIFE_TPU_CAT_INTERP", "0")
+        b = RIFE(model, dtype="float32").process_batch(f0, f1, ts)
+        np.testing.assert_array_equal(a, b)
