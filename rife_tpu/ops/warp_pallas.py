@@ -1064,6 +1064,257 @@ def _slab_tall_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
     lax.fori_loop(band_lo, band_hi + 1, band_body, 0)
 
 
+def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
+                             slab, acc0, acc1, acc2, sem, *,
+                             nt_w: int, h_max: int, w_max: int, nb: int):
+    """SHEARED accumulation core: dy-walk gathering over chunked slab
+    staging — the sdelta idea (iterate the integer row-delta range, which
+    for smooth flows is the exact per-window y-spread ~2-4 values, instead
+    of one-hot-matching every row of every touched 8-aligned band) rebuilt
+    on the round-4 inflow/pair structure (in-kernel ranges, no SMEM tables,
+    no materialized position operands).
+
+    Work model vs `_slab_tall_accumulate`: the tall kernel pays gather +
+    unpack + select on a (8*TH, LANE) tall layout for every (band, tile)
+    visit (~2 bands x ~2 tiles per window at smooth flows), touching 8
+    candidate rows per visit of which ~2 contribute.  This kernel pays
+    (8, LANE)-sized work per (tile, dy) visit with dy covering exactly
+    [min(y0-row), max(y1-row)] — typically (spread+2) x ~2 tiles visits —
+    so ~3-4x less VPU work at the measured per-stripe y-spread of 2.3-2.8
+    rows (BASELINE.md round-3 attribution).
+
+    Staging: the slab scratch holds ``nb`` 8-row source bands.  Chunk k
+    stages bands [cb0 + k(nb-1), +nb) and serves every dy whose 8-row
+    sheared window starts inside the first nb-1 staged bands (the window
+    may extend into the nb-th — that's why one extra band is staged).
+    Rough flows simply take more chunks — correctness never depends on a
+    spread bound, unlike a fixed-slab design.  A dy window's rows are cut
+    out of the staged block with one dynamic sublane roll (the sdelta
+    mechanism, /root/repo lineage: _warp_kernel_u8_sdelta).
+
+    Per-element contribution order matches the tall kernel's same-band
+    case (the overwhelmingly common one at smooth flows): per tile, both
+    row corners accumulate into a per-tile partial sum in ascending row
+    order, and partial sums join the accumulator in ascending tile order.
+    Reference algebra: /root/reference/src/warp.comp:42-63."""
+    zeros_row = jnp.zeros(acc0.shape, jnp.float32)
+    acc0[...] = zeros_row
+    acc1[...] = zeros_row
+    acc2[...] = zeros_row
+
+    base_y = pl.program_id(1) * TH
+    n_src_bands = img_hbm.shape[1] // TH
+
+    def unpack3(g):
+        c0 = (g & 0xFF).astype(jnp.float32)
+        c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+        # byte 3 is zero by construction (u8 packing is gated to <=3
+        # channels), so the top shift needs no mask
+        c2 = (g >> 16).astype(jnp.float32)
+        return c0, c1, c2
+
+    srow_l = lax.broadcasted_iota(jnp.int32, (TH, LANE), 0)
+
+    # per-window dy/tile ranges (in-kernel cross-lane reductions — the SMEM
+    # table alternative costs full-image XLA reduction passes per warp,
+    # measured net-negative in BASELINE.md round-3)
+    wins = []
+    d_lo_g = None
+    d_hi_g = None
+    for lo in range(nt_w):
+        sl = slice(lo * LANE, (lo + 1) * LANE)
+        y0 = y0_full[:, sl]
+        x0 = x0_full[:, sl]
+        y1 = jnp.minimum(y0 + 1, h_max)
+        x1 = jnp.minimum(x0 + 1, w_max)
+        dys0 = y0 - srow_l - base_y
+        dys1 = y1 - srow_l - base_y
+        d_lo = jnp.min(dys0)
+        d_hi = jnp.max(dys1)
+        t_lo = jnp.min(x0) // LANE
+        t_hi = jnp.max(x1) // LANE
+        wins.append((d_lo, d_hi, t_lo, t_hi))
+        d_lo_g = d_lo if d_lo_g is None else jnp.minimum(d_lo_g, d_lo)
+        d_hi_g = d_hi if d_hi_g is None else jnp.maximum(d_hi_g, d_hi)
+
+    # chunk walk: window start rows rw = base_y + dy span
+    # [base_y + d_lo_g, base_y + d_hi_g]; chunk k serves starts in bands
+    # [cb0 + k(nb-1), cb0 + (k+1)(nb-1))
+    cb0 = (base_y + d_lo_g) // TH
+    span_bands = (base_y + d_hi_g) // TH - cb0 + 1
+    n_chunks = (span_bands + nb - 2) // (nb - 1)
+
+    def chunk_body(k, carry):
+        cb = cb0 + k * (nb - 1)
+        in_range = (cb >= 0) & (cb + nb <= n_src_bands)
+
+        @pl.when(in_range)
+        def _():
+            cp = pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.program_id(0),
+                    pl.ds(pl.multiple_of(cb * TH, TH), nb * TH),
+                    :,
+                ],
+                slab,
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_not(in_range))
+        def _():
+            # frame-edge chunk: stage the in-bounds bands one by one;
+            # un-staged slab rows keep stale (finite) words whose bilinear
+            # weights are exactly zero (y0/y1 are clamped to [0, h-1])
+            for q in range(nb):
+                sb = cb + q
+
+                @pl.when((sb >= 0) & (sb < n_src_bands))
+                def _(sb=sb, q=q):
+                    cp = pltpu.make_async_copy(
+                        img_hbm.at[
+                            pl.program_id(0),
+                            pl.ds(pl.multiple_of(sb * TH, TH), TH),
+                            :,
+                        ],
+                        slab.at[pl.ds(q * TH, TH)],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+        c_lo = cb * TH - base_y  # lowest dy this chunk can serve
+        for lo in range(nt_w):
+            d_lo_w, d_hi_w, t_lo, t_hi = wins[lo]
+            dd_lo = jnp.maximum(d_lo_w, c_lo)
+            dd_hi = jnp.minimum(d_hi_w, c_lo + (nb - 1) * TH - 1)
+
+            @pl.when(dd_lo <= dd_hi)
+            def _(lo=lo, dd_lo=dd_lo, dd_hi=dd_hi, t_lo=t_lo, t_hi=t_hi,
+                  c_lo=c_lo):
+                sl = slice(lo * LANE, (lo + 1) * LANE)
+                y0 = y0_full[:, sl]
+                x0 = x0_full[:, sl]
+                y1 = jnp.minimum(y0 + 1, h_max)
+                x1 = jnp.minimum(x0 + 1, w_max)
+                alpha = a_full[:, sl]
+                beta = b_full[:, sl]
+                w00 = (1.0 - alpha) * (1.0 - beta)
+                w01 = alpha * (1.0 - beta)
+                w10 = (1.0 - alpha) * beta
+                w11 = alpha * beta
+                dys0 = y0 - srow_l - base_y
+                dys1 = y1 - srow_l - base_y
+                zero = jnp.zeros_like(w00)
+
+                def tile_body(t, accs):
+                    a0v, a1v, a2v = accs
+                    block = slab[:, pl.ds(t * LANE, LANE)]
+                    lx0 = x0 - t * LANE
+                    lx1 = x1 - t * LANE
+                    ok0 = (lx0 >= 0) & (lx0 < LANE)
+                    ok1 = (lx1 >= 0) & (lx1 < LANE)
+                    idx0 = jnp.clip(lx0, 0, LANE - 1)
+                    idx1 = jnp.clip(lx1, 0, LANE - 1)
+
+                    def dy_body(dy, part):
+                        s0, s1, s2 = part
+                        off = dy - c_lo
+                        win = pltpu.roll(block, shift=-off, axis=0)[:TH, :]
+                        g0 = jnp.take_along_axis(win, idx0, axis=1)
+                        g1 = jnp.take_along_axis(win, idx1, axis=1)
+                        m0 = dys0 == dy
+                        m1 = dys1 == dy
+                        wg0 = (
+                            jnp.where(m0 & ok0, w00, zero)
+                            + jnp.where(m1 & ok0, w10, zero)
+                        )
+                        wg1 = (
+                            jnp.where(m0 & ok1, w01, zero)
+                            + jnp.where(m1 & ok1, w11, zero)
+                        )
+                        r0, g0c, b0c = unpack3(g0)
+                        r1, g1c, b1c = unpack3(g1)
+                        return (s0 + (r0 * wg0 + r1 * wg1),
+                                s1 + (g0c * wg0 + g1c * wg1),
+                                s2 + (b0c * wg0 + b1c * wg1))
+
+                    zp = jnp.zeros_like(zero)
+                    p0, p1, p2 = lax.fori_loop(
+                        dd_lo, dd_hi + 1, dy_body, (zp, zp, zp))
+                    return (a0v + p0, a1v + p1, a2v + p2)
+
+                a0v, a1v, a2v = lax.fori_loop(
+                    t_lo, t_hi + 1, tile_body,
+                    (acc0[:, sl], acc1[:, sl], acc2[:, sl]),
+                )
+                acc0[:, sl] = a0v
+                acc1[:, sl] = a1v
+                acc2[:, sl] = a2v
+
+        return carry
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _warp_kernel_u8_sheared_flow_pair(
+        img_a_hbm, img_b_hbm, sxa_ref, sya_ref, sxb_ref, syb_ref,
+        oa0, oa1, oa2, ob0, ob1, ob2,
+        slab, acc0, acc1, acc2, sem, *,
+        nt_w: int, h_max: int, w_max: int, nb: int,
+        raw_flow: bool = False):
+    """PAIR kernel on the sheared accumulate core — drop-in alternative to
+    `_warp_kernel_u8_slab_tall_flow_pair` (same operands, same outputs,
+    dy-walk gathering instead of band-tall one-hot)."""
+    scale = jnp.float32(1.0 / 255.0)
+    ya, xa, aa, ba = _inkernel_corners(sxa_ref, sya_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_sheared_accumulate(img_a_hbm, ya, xa, aa, ba,
+                             slab, acc0, acc1, acc2, sem,
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+    oa0[0] = (acc0[...] * scale).astype(oa0.dtype)
+    oa1[0] = (acc1[...] * scale).astype(oa1.dtype)
+    oa2[0] = (acc2[...] * scale).astype(oa2.dtype)
+    yb, xb, ab, bb = _inkernel_corners(sxb_ref, syb_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_sheared_accumulate(img_b_hbm, yb, xb, ab, bb,
+                             slab, acc0, acc1, acc2, sem,
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+    ob0[0] = (acc0[...] * scale).astype(ob0.dtype)
+    ob1[0] = (acc1[...] * scale).astype(ob1.dtype)
+    ob2[0] = (acc2[...] * scale).astype(ob2.dtype)
+
+
+def _warp_kernel_u8_sheared_flow_render(
+        img_m_hbm, img_i_hbm, sxm_ref, sym_ref, sxi_ref, syi_ref, mask_ref,
+        o0, o1, o2,
+        slab, acc0, acc1, acc2, st0, st1, st2, sem, *,
+        nt_w: int, h_max: int, w_max: int, nb: int,
+        raw_flow: bool = False):
+    """RENDER (pair + in-kernel mask blend) on the sheared accumulate core
+    — drop-in alternative to `_warp_kernel_u8_slab_tall_flow_render`."""
+    scale = jnp.float32(1.0 / 255.0)
+    ym, xm, am, bm = _inkernel_corners(sxm_ref, sym_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_sheared_accumulate(img_m_hbm, ym, xm, am, bm,
+                             slab, acc0, acc1, acc2, sem,
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+    st0[...] = (acc0[...] * scale).astype(st0.dtype)
+    st1[...] = (acc1[...] * scale).astype(st1.dtype)
+    st2[...] = (acc2[...] * scale).astype(st2.dtype)
+    yi, xi, ai, bi = _inkernel_corners(sxi_ref, syi_ref, h_max=h_max,
+                                       w_max=w_max, raw_flow=raw_flow)
+    _slab_sheared_accumulate(img_i_hbm, yi, xi, ai, bi,
+                             slab, acc0, acc1, acc2, sem,
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+    m = mask_ref[0]
+    one = jnp.asarray(1.0, m.dtype)
+    o0[0] = st0[...] * m + (acc0[...] * scale).astype(o0.dtype) * (one - m)
+    o1[0] = st1[...] * m + (acc1[...] * scale).astype(o1.dtype) * (one - m)
+    o2[0] = st2[...] * m + (acc2[...] * scale).astype(o2.dtype) * (one - m)
+
+
 def _inkernel_corners(sx_ref, sy_ref, *, h_max: int, w_max: int,
                       raw_flow: bool = False):
     """floor/clip index+fraction chain from the flow operands — the exact
@@ -2125,21 +2376,43 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
     pad_pos = pad_zero if raw_flow else pad_edge
     pos = [pad_pos(v) for v in (sxa, sya, sxb, syb)]
 
+    import os
+
+    # sheared (dy-walk) accumulate core: measured A/B alternative to the
+    # band-tall one-hot core (tools/warp_sheared_ab.py).  raw-flow pairs
+    # only — the abs_pos (WarpDs4) grids need a stride-aware dy
+    # parameterization the sheared core doesn't have yet.
+    sheared = (raw_flow and
+               os.environ.get("RIFE_TPU_WARP_SHEARED", "0") != "0")
+    # nb is rounded up to a power of two: Mosaic's DYNAMIC sublane roll is
+    # only correct when the rolled block is a power-of-two number of vregs
+    # (measured: a (24,128) i32 block mis-rotates for every nonzero shift
+    # while (16,128)/(32,128) are exact — /tmp roll probe, round 5)
+    nb_req = max(2, int(os.environ.get("RIFE_TPU_WARP_NB", "4")))
+    nb = 1 << (nb_req - 1).bit_length()
+
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
     blk = pl.BlockSpec(
         (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     grid = (b, hp_o // TH)
+    slab_shape = (nb * TH, wp) if sheared else (TH, wp)
     scratch = [
-        pltpu.VMEM((TH, wp), jnp.int32),      # slab (shared, sequential)
+        pltpu.VMEM(slab_shape, jnp.int32),    # slab (shared, sequential)
         pltpu.VMEM((TH, wp_o), jnp.float32),  # acc r
         pltpu.VMEM((TH, wp_o), jnp.float32),  # acc g
         pltpu.VMEM((TH, wp_o), jnp.float32),  # acc b
     ]
 
     if blend:
-        kernel = functools.partial(
-            _warp_kernel_u8_slab_tall_flow_render,
-            nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
+        if sheared:
+            kernel = functools.partial(
+                _warp_kernel_u8_sheared_flow_render,
+                nt_w=nt_w, h_max=h - 1, w_max=w - 1, nb=nb,
+                raw_flow=raw_flow)
+        else:
+            kernel = functools.partial(
+                _warp_kernel_u8_slab_tall_flow_render,
+                nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
         scratch = scratch + [
             pltpu.VMEM((TH, wp_o), out_dtype),  # stash: warp_m planes
             pltpu.VMEM((TH, wp_o), out_dtype),
@@ -2158,9 +2431,14 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
             return jnp.stack(outs, axis=2)[:, :ho, :c, :wo]
         return jnp.stack(outs, axis=-1)[:, :ho, :wo, :c]
 
-    kernel = functools.partial(
-        _warp_kernel_u8_slab_tall_flow_pair,
-        nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
+    if sheared:
+        kernel = functools.partial(
+            _warp_kernel_u8_sheared_flow_pair,
+            nt_w=nt_w, h_max=h - 1, w_max=w - 1, nb=nb, raw_flow=raw_flow)
+    else:
+        kernel = functools.partial(
+            _warp_kernel_u8_slab_tall_flow_pair,
+            nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
     scratch = scratch + [pltpu.SemaphoreType.DMA]
     outs = pl.pallas_call(
         kernel,
