@@ -1066,7 +1066,8 @@ def _slab_tall_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
 
 def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
                              slab, acc0, acc1, acc2, sem, *,
-                             nt_w: int, h_max: int, w_max: int, nb: int):
+                             nt_w: int, h_max: int, w_max: int, nb: int,
+                             ts: int = TH):
     """SHEARED accumulation core: dy-walk gathering over chunked slab
     staging — the sdelta idea (iterate the integer row-delta range, which
     for smooth flows is the exact per-window y-spread ~2-4 values, instead
@@ -1096,14 +1097,26 @@ def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
     case (the overwhelmingly common one at smooth flows): per tile, both
     row corners accumulate into a per-tile partial sum in ascending row
     order, and partial sums join the accumulator in ascending tile order.
-    Reference algebra: /root/reference/src/warp.comp:42-63."""
+    Reference algebra: /root/reference/src/warp.comp:42-63.
+
+    ``ts`` is the OUTPUT STRIPE height this grid step covers (a multiple
+    of TH).  Taller stripes amortize the per-step fixed costs — corners
+    chain, window min/max, fori_loop scalar bookkeeping, output DMA —
+    over 4-8x more pixels while the per-pixel gather work stays constant
+    (smooth flows vary little over 32-64 rows, so the dy span per window
+    barely grows)."""
+    assert ts % TH == 0 and nb * TH >= 2 * ts
     zeros_row = jnp.zeros(acc0.shape, jnp.float32)
     acc0[...] = zeros_row
     acc1[...] = zeros_row
     acc2[...] = zeros_row
 
-    base_y = pl.program_id(1) * TH
+    base_y = pl.program_id(1) * ts
     n_src_bands = img_hbm.shape[1] // TH
+    # a chunk staging nb bands serves window-start offsets [0, cap) —
+    # the ts-row sheared window [off, off+ts) must fit the staged block
+    cap = nb * TH - ts
+    stride_bands = nb - ts // TH
 
     def unpack3(g):
         c0 = (g & 0xFF).astype(jnp.float32)
@@ -1113,7 +1126,7 @@ def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
         c2 = (g >> 16).astype(jnp.float32)
         return c0, c1, c2
 
-    srow_l = lax.broadcasted_iota(jnp.int32, (TH, LANE), 0)
+    srow_l = lax.broadcasted_iota(jnp.int32, (ts, LANE), 0)
 
     # per-window dy/tile ranges (in-kernel cross-lane reductions — the SMEM
     # table alternative costs full-image XLA reduction passes per warp,
@@ -1139,13 +1152,13 @@ def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
 
     # chunk walk: window start rows rw = base_y + dy span
     # [base_y + d_lo_g, base_y + d_hi_g]; chunk k serves starts in bands
-    # [cb0 + k(nb-1), cb0 + (k+1)(nb-1))
+    # [cb0 + k*stride_bands, cb0 + (k+1)*stride_bands)
     cb0 = (base_y + d_lo_g) // TH
     span_bands = (base_y + d_hi_g) // TH - cb0 + 1
-    n_chunks = (span_bands + nb - 2) // (nb - 1)
+    n_chunks = (span_bands + stride_bands - 1) // stride_bands
 
     def chunk_body(k, carry):
-        cb = cb0 + k * (nb - 1)
+        cb = cb0 + k * stride_bands
         in_range = (cb >= 0) & (cb + nb <= n_src_bands)
 
         @pl.when(in_range)
@@ -1188,7 +1201,7 @@ def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
         for lo in range(nt_w):
             d_lo_w, d_hi_w, t_lo, t_hi = wins[lo]
             dd_lo = jnp.maximum(d_lo_w, c_lo)
-            dd_hi = jnp.minimum(d_hi_w, c_lo + (nb - 1) * TH - 1)
+            dd_hi = jnp.minimum(d_hi_w, c_lo + cap - 1)
 
             @pl.when(dd_lo <= dd_hi)
             def _(lo=lo, dd_lo=dd_lo, dd_hi=dd_hi, t_lo=t_lo, t_hi=t_hi,
@@ -1221,7 +1234,7 @@ def _slab_sheared_accumulate(img_hbm, y0_full, x0_full, a_full, b_full,
                     def dy_body(dy, part):
                         s0, s1, s2 = part
                         off = dy - c_lo
-                        win = pltpu.roll(block, shift=-off, axis=0)[:TH, :]
+                        win = pltpu.roll(block, shift=-off, axis=0)[:ts, :]
                         g0 = jnp.take_along_axis(win, idx0, axis=1)
                         g1 = jnp.take_along_axis(win, idx1, axis=1)
                         m0 = dys0 == dy
@@ -1262,7 +1275,7 @@ def _warp_kernel_u8_sheared_flow_pair(
         img_a_hbm, img_b_hbm, sxa_ref, sya_ref, sxb_ref, syb_ref,
         oa0, oa1, oa2, ob0, ob1, ob2,
         slab, acc0, acc1, acc2, sem, *,
-        nt_w: int, h_max: int, w_max: int, nb: int,
+        nt_w: int, h_max: int, w_max: int, nb: int, ts: int = TH,
         raw_flow: bool = False):
     """PAIR kernel on the sheared accumulate core — drop-in alternative to
     `_warp_kernel_u8_slab_tall_flow_pair` (same operands, same outputs,
@@ -1272,7 +1285,8 @@ def _warp_kernel_u8_sheared_flow_pair(
                                        w_max=w_max, raw_flow=raw_flow)
     _slab_sheared_accumulate(img_a_hbm, ya, xa, aa, ba,
                              slab, acc0, acc1, acc2, sem,
-                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb,
+                             ts=ts)
     oa0[0] = (acc0[...] * scale).astype(oa0.dtype)
     oa1[0] = (acc1[...] * scale).astype(oa1.dtype)
     oa2[0] = (acc2[...] * scale).astype(oa2.dtype)
@@ -1280,7 +1294,8 @@ def _warp_kernel_u8_sheared_flow_pair(
                                        w_max=w_max, raw_flow=raw_flow)
     _slab_sheared_accumulate(img_b_hbm, yb, xb, ab, bb,
                              slab, acc0, acc1, acc2, sem,
-                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb,
+                             ts=ts)
     ob0[0] = (acc0[...] * scale).astype(ob0.dtype)
     ob1[0] = (acc1[...] * scale).astype(ob1.dtype)
     ob2[0] = (acc2[...] * scale).astype(ob2.dtype)
@@ -1290,7 +1305,7 @@ def _warp_kernel_u8_sheared_flow_render(
         img_m_hbm, img_i_hbm, sxm_ref, sym_ref, sxi_ref, syi_ref, mask_ref,
         o0, o1, o2,
         slab, acc0, acc1, acc2, st0, st1, st2, sem, *,
-        nt_w: int, h_max: int, w_max: int, nb: int,
+        nt_w: int, h_max: int, w_max: int, nb: int, ts: int = TH,
         raw_flow: bool = False):
     """RENDER (pair + in-kernel mask blend) on the sheared accumulate core
     — drop-in alternative to `_warp_kernel_u8_slab_tall_flow_render`."""
@@ -1299,7 +1314,8 @@ def _warp_kernel_u8_sheared_flow_render(
                                        w_max=w_max, raw_flow=raw_flow)
     _slab_sheared_accumulate(img_m_hbm, ym, xm, am, bm,
                              slab, acc0, acc1, acc2, sem,
-                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb,
+                             ts=ts)
     st0[...] = (acc0[...] * scale).astype(st0.dtype)
     st1[...] = (acc1[...] * scale).astype(st1.dtype)
     st2[...] = (acc2[...] * scale).astype(st2.dtype)
@@ -1307,7 +1323,8 @@ def _warp_kernel_u8_sheared_flow_render(
                                        w_max=w_max, raw_flow=raw_flow)
     _slab_sheared_accumulate(img_i_hbm, yi, xi, ai, bi,
                              slab, acc0, acc1, acc2, sem,
-                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb)
+                             nt_w=nt_w, h_max=h_max, w_max=w_max, nb=nb,
+                             ts=ts)
     m = mask_ref[0]
     one = jnp.asarray(1.0, m.dtype)
     o0[0] = st0[...] * m + (acc0[...] * scale).astype(o0.dtype) * (one - m)
@@ -2354,6 +2371,38 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
     hp_o, wp_o = _round_up(ho, TH), _round_up(wo, LANE)
     nt_w = wp_o // LANE
 
+    import os
+
+    # sheared (dy-walk) accumulate core: measured A/B alternative to the
+    # band-tall one-hot core (tools/warp_sheared_ab.py).  raw-flow pairs
+    # only — the abs_pos (WarpDs4) grids need a stride-aware dy
+    # parameterization the sheared core doesn't have yet.
+    raw_flow = not abs_pos
+    sheared = (raw_flow and
+               os.environ.get("RIFE_TPU_WARP_SHEARED", "1") != "0")
+    # sheared OUTPUT STRIPE height: one grid step covers ts output rows.
+    # Taller stripes amortize per-step fixed costs (corners chain, window
+    # reductions, fori_loop scalar bookkeeping, DMA issue) over more
+    # pixels — the per-(8,128) inner iteration is overhead-bound.
+    # Measured (tools/warp_sheared_ab.py, 1080p B=24, bit-exact): ts=8
+    # 1.02x vs the tall kernels, ts=32 2.23x, ts=64 2.45x pair / 2.57x
+    # render (and iid 1.11x); ts=128 exceeds the 16M VMEM scoped limit.
+    ts = TH
+    if sheared:
+        ts = max(TH, int(os.environ.get("RIFE_TPU_WARP_TS", "64")))
+        # no stripe taller than the (TH-padded) frame
+        ts = min(_round_up(ts, TH), _round_up(ho, TH))
+        hp_o = _round_up(ho, ts)  # grid rows must tile the stripe height
+    # nb (staging depth, in TH-row bands) is rounded up to a power of two:
+    # Mosaic's DYNAMIC sublane roll is only correct when the rolled block
+    # is a power-of-two number of vregs (measured: a (24,128) i32 block
+    # mis-rotates for every nonzero shift while (16,128)/(32,128) are
+    # exact).  It must also hold at least 2 stripes so each chunk serves
+    # a non-empty dy range.
+    nb_req = max(2 * ts // TH,
+                 int(os.environ.get("RIFE_TPU_WARP_NB", "4")))
+    nb = 1 << (nb_req - 1).bit_length()
+
     def pad_src(x):
         return jnp.pad(
             x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2])))
@@ -2372,51 +2421,35 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
             v, ((0, 0), (0, hp_o - v.shape[1]), (0, wp_o - v.shape[2])))
 
     words_a, words_b = pad_src(words_a), pad_src(words_b)
-    raw_flow = not abs_pos
     pad_pos = pad_zero if raw_flow else pad_edge
     pos = [pad_pos(v) for v in (sxa, sya, sxb, syb)]
 
-    import os
-
-    # sheared (dy-walk) accumulate core: measured A/B alternative to the
-    # band-tall one-hot core (tools/warp_sheared_ab.py).  raw-flow pairs
-    # only — the abs_pos (WarpDs4) grids need a stride-aware dy
-    # parameterization the sheared core doesn't have yet.
-    sheared = (raw_flow and
-               os.environ.get("RIFE_TPU_WARP_SHEARED", "0") != "0")
-    # nb is rounded up to a power of two: Mosaic's DYNAMIC sublane roll is
-    # only correct when the rolled block is a power-of-two number of vregs
-    # (measured: a (24,128) i32 block mis-rotates for every nonzero shift
-    # while (16,128)/(32,128) are exact — /tmp roll probe, round 5)
-    nb_req = max(2, int(os.environ.get("RIFE_TPU_WARP_NB", "4")))
-    nb = 1 << (nb_req - 1).bit_length()
-
     img_spec = pl.BlockSpec(memory_space=pl.ANY)
     blk = pl.BlockSpec(
-        (1, TH, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    grid = (b, hp_o // TH)
+        (1, ts, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    grid = (b, hp_o // ts)
     slab_shape = (nb * TH, wp) if sheared else (TH, wp)
     scratch = [
         pltpu.VMEM(slab_shape, jnp.int32),    # slab (shared, sequential)
-        pltpu.VMEM((TH, wp_o), jnp.float32),  # acc r
-        pltpu.VMEM((TH, wp_o), jnp.float32),  # acc g
-        pltpu.VMEM((TH, wp_o), jnp.float32),  # acc b
+        pltpu.VMEM((ts, wp_o), jnp.float32),  # acc r
+        pltpu.VMEM((ts, wp_o), jnp.float32),  # acc g
+        pltpu.VMEM((ts, wp_o), jnp.float32),  # acc b
     ]
 
     if blend:
         if sheared:
             kernel = functools.partial(
                 _warp_kernel_u8_sheared_flow_render,
-                nt_w=nt_w, h_max=h - 1, w_max=w - 1, nb=nb,
+                nt_w=nt_w, h_max=h - 1, w_max=w - 1, nb=nb, ts=ts,
                 raw_flow=raw_flow)
         else:
             kernel = functools.partial(
                 _warp_kernel_u8_slab_tall_flow_render,
                 nt_w=nt_w, h_max=h - 1, w_max=w - 1, raw_flow=raw_flow)
         scratch = scratch + [
-            pltpu.VMEM((TH, wp_o), out_dtype),  # stash: warp_m planes
-            pltpu.VMEM((TH, wp_o), out_dtype),
-            pltpu.VMEM((TH, wp_o), out_dtype),
+            pltpu.VMEM((ts, wp_o), out_dtype),  # stash: warp_m planes
+            pltpu.VMEM((ts, wp_o), out_dtype),
+            pltpu.VMEM((ts, wp_o), out_dtype),
             pltpu.SemaphoreType.DMA,
         ]
         outs = pl.pallas_call(
@@ -2434,7 +2467,8 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
     if sheared:
         kernel = functools.partial(
             _warp_kernel_u8_sheared_flow_pair,
-            nt_w=nt_w, h_max=h - 1, w_max=w - 1, nb=nb, raw_flow=raw_flow)
+            nt_w=nt_w, h_max=h - 1, w_max=w - 1, nb=nb, ts=ts,
+            raw_flow=raw_flow)
     else:
         kernel = functools.partial(
             _warp_kernel_u8_slab_tall_flow_pair,
