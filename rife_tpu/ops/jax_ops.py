@@ -319,9 +319,30 @@ def warp_at(image, sy, sx):
     """Backward bilinear sampling of ``image`` at ABSOLUTE positions
     (sy, sx) of shape (B, Ho, Wo) — same clamped-corner algebra as ``warp``
     but with a caller-chosen output grid (the fused downscaled-warp rewrite
-    samples on the Interp tap grid, graph/rewrite.py)."""
+    samples on the Interp tap grid, graph/rewrite.py).
+
+    Large batches are processed in sequential chunks (``lax.map``): the
+    gather form holds ~10 full-res f32/i32 planes live per warp (positions,
+    four corner indices, four gathered corner tensors), which at B=30 1080p
+    inflates a warp site to ~3 GB and OOMs the 16 G HBM when the whole v4
+    step routes through the XLA warps (the flow-independent worst-case
+    variant, engine/session.py::_resolve_warp_variant).  Every op is
+    per-batch-element, so chunking changes results only through XLA's
+    per-program FMA re-association of the lerp chain (~1 ulp f32); it
+    bounds the live set to one chunk."""
     b, h, w, c = image.shape
     ho, wo = sy.shape[1], sy.shape[2]
+    if b >= 8 and ho * wo >= (1 << 20):
+        cs = next((d for d in (8, 6, 5, 4, 3, 2)
+                   if b % d == 0 and d < b), None)
+        if cs is not None:
+            body = lambda args: warp_at(*args)  # noqa: E731
+            out = lax.map(
+                body,
+                (image.reshape(b // cs, cs, h, w, c),
+                 sy.reshape(b // cs, cs, ho, wo),
+                 sx.reshape(b // cs, cs, ho, wo)))
+            return out.reshape(b, ho, wo, c)
 
     x0f = jnp.floor(sx)
     y0f = jnp.floor(sy)
@@ -960,6 +981,20 @@ def _op_warp_ds4_pair(node, inputs, w, ctx):
     h, wid = img_a.shape[1], img_a.shape[2]
     if (h % 4 == 0 and wid % 4 == 0
             and _pair_kernel_ok(node, img_a, img_b, flow_a, flow_b, ctx)):
+        if os.environ.get("RIFE_TPU_WARP_DS4_SHEARED", "0") != "0":
+            # sheared phase-split core emitting the FINAL 1/4-res planes.
+            # Bit-exact but MEASURED NET-NEGATIVE (tools/warp_ds4_ab.py,
+            # B=24 1080p: 175 vs 49 ms smooth, 329 vs 144 ms iid): the
+            # stride-4 tap grid forces ~4 taps x ~5 source tiles x ~6 dy
+            # values of fori_loop scalar overhead per stripe, where the
+            # tall one-hot core serves 8 candidate rows per visit.  Kept
+            # behind this env as a documented negative (BASELINE.md r5).
+            from .warp_pallas import warp_pallas_ds4_pair
+
+            _warp_debug(node, "pallas_ds4_pair_sheared", img_a, ctx,
+                        u8=True, out=(h // 4, wid // 4))
+            y_a, y_b = warp_pallas_ds4_pair(img_a, flow_a, img_b, flow_b)
+            return [y_a, y_b]
         from .warp_pallas import warp_pallas_pair
 
         sxa, sya = _ds4_abs_positions(img_a, flow_a)

@@ -1367,6 +1367,298 @@ def _inkernel_corners(sx_ref, sy_ref, *, h_max: int, w_max: int,
     return y0, x0, alpha, beta
 
 
+def _ds4_tap_corners(fx_ref, fy_ref, *, ta: int, tb: int,
+                     h_max: int, w_max: int, ts: int):
+    """In-kernel corner chain for ONE tap quadrant of the fused
+    warp-then-1/4-downscale grid (jax_ops._ds4_abs_positions): final-grid
+    pixel (i, j) samples the source at (4i+1+ta + fy, 4j+1+tb + fx) where
+    (fx, fy) is the flow at full-res pixel (4i+1+ta, 4j+1+tb) — passed here
+    as the pre-sliced quadrant planes.  Integer iota -> f32 convert + f32
+    add reproduces the driver's position arithmetic bit-exactly."""
+    fx = fx_ref[0].astype(jnp.float32)
+    fy = fy_ref[0].astype(jnp.float32)
+    rows0 = pl.program_id(1) * ts
+    gy = ((lax.broadcasted_iota(jnp.int32, fx.shape, 0) + rows0) * 4
+          + (1 + ta)).astype(jnp.float32)
+    gx = (lax.broadcasted_iota(jnp.int32, fx.shape, 1) * 4
+          + (1 + tb)).astype(jnp.float32)
+    sx = gx + fx
+    sy = gy + fy
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w_max)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h_max)
+    alpha = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    beta = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    return y0, x0, alpha, beta
+
+
+def _ds4_sheared_accumulate(img_hbm, taps, slabs, accs, sem, *,
+                            nt_w: int, h_max: int, w_max: int,
+                            nbq: int, ts: int):
+    """Sheared (dy-walk) accumulate over a PHASE-SPLIT source for the
+    stride-4 tap grid of the fused warp+1/4-downscale.
+
+    ``img_hbm`` is the u8-quad word source split by row phase:
+    (4, hq, wp) per batch element, plane p holding source rows ≡ p (mod 4)
+    — so for a fixed integer row delta ``dy`` (:= y0 − 4·R at final-grid
+    row R) every output row reads phase plane ``dy & 3`` at plane row
+    ``R + (dy >> 2)``: a CONTIGUOUS ts-row window, cut from the staged
+    block with one dynamic sublane roll exactly like the stride-1 sheared
+    core (`_slab_sheared_accumulate`).  The dy walk is restructured as a
+    STATIC 4-way phase unroll with a per-phase dq (= dy>>2) fori_loop, so
+    each phase's slab region is statically addressed.
+
+    ``taps`` is the list of 4 corner sets (y0, x0, alpha, beta), one per
+    tap quadrant (row offset 1+ta, col offset 1+tb); each accumulates into
+    its own 3 accumulator planes (``accs[4*...]``) and the caller's
+    epilogue replays the exact 0.5/0.5 tap averages.  Taps walk
+    sequentially — each tap's dy span (~2-4 at smooth flows) and tile span
+    is tighter than their union, and per-visit register pressure matches
+    the proven stride-1 core.
+
+    Accumulation-order exactness vs the composed tall-ds4 + downsample
+    path: per (tap, pixel, source tile) at most two visit contributions
+    exist (the y0 row and the y1 row), each formed as the same fused
+    ``g0*wg0 + g1*wg1`` expression; f32 addition of two terms onto an
+    exact-zero partial is commutative, so the phase-unrolled dy order
+    (not always ascending) yields bit-identical sums, and partial sums
+    join the accumulator in ascending tile order as before."""
+    zeros = jnp.zeros(accs[0].shape, jnp.float32)
+    for a in accs:
+        a[...] = zeros
+
+    base = pl.program_id(1) * ts
+    n_qbands = img_hbm.shape[2] // TH
+    cap = nbq * TH - ts
+    stride_bands = nbq - ts // TH
+
+    def unpack3(g):
+        c0 = (g & 0xFF).astype(jnp.float32)
+        c1 = ((g >> 8) & 0xFF).astype(jnp.float32)
+        c2 = (g >> 16).astype(jnp.float32)
+        return c0, c1, c2
+
+    srow = lax.broadcasted_iota(jnp.int32, (ts, LANE), 0)
+
+    # per-(tap, lane-tile) window stats in dy space (dy = y - 4*(base+s))
+    wins = []
+    d_lo_g = None
+    d_hi_g = None
+    for ti, (y0f, x0f, _af, _bf) in enumerate(taps):
+        for lo in range(nt_w):
+            sl = slice(lo * LANE, (lo + 1) * LANE)
+            y0 = y0f[:, sl]
+            x0 = x0f[:, sl]
+            y1 = jnp.minimum(y0 + 1, h_max)
+            x1 = jnp.minimum(x0 + 1, w_max)
+            dys0 = y0 - 4 * (srow + base)
+            dys1 = y1 - 4 * (srow + base)
+            d_lo = jnp.min(dys0)
+            d_hi = jnp.max(dys1)
+            t_lo = jnp.min(x0) // LANE
+            t_hi = jnp.max(x1) // LANE
+            wins.append((d_lo, d_hi, t_lo, t_hi))
+            d_lo_g = d_lo if d_lo_g is None else jnp.minimum(d_lo_g, d_lo)
+            d_hi_g = d_hi if d_hi_g is None else jnp.maximum(d_hi_g, d_hi)
+
+    # chunk walk in PHASE-PLANE rows: the (p, dq) window starts at plane
+    # row base + dq; chunk k stages plane bands [cb, cb+nbq) of all 4
+    # phases and serves window starts in its first (nbq - ts/TH) bands
+    dq_lo_g = lax.shift_right_arithmetic(d_lo_g, 2)
+    dq_hi_g = lax.shift_right_arithmetic(d_hi_g, 2)
+    cb0 = (base + dq_lo_g) // TH
+    span_bands = (base + dq_hi_g) // TH - cb0 + 1
+    n_chunks = (span_bands + stride_bands - 1) // stride_bands
+
+    def chunk_body(k, carry):
+        cb = cb0 + k * stride_bands
+        in_range = (cb >= 0) & (cb + nbq <= n_qbands)
+
+        @pl.when(in_range)
+        def _():
+            for p in range(4):
+                cp = pltpu.make_async_copy(
+                    img_hbm.at[
+                        pl.program_id(0), p,
+                        pl.ds(pl.multiple_of(cb * TH, TH), nbq * TH),
+                        :,
+                    ],
+                    slabs[p],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+        @pl.when(jnp.logical_not(in_range))
+        def _():
+            # frame-edge chunk: stage in-bounds bands one by one; unstaged
+            # slab rows keep stale finite words whose bilinear weights are
+            # exactly zero (y0/y1 are clamped into [0, h-1])
+            for q in range(nbq):
+                sb = cb + q
+
+                @pl.when((sb >= 0) & (sb < n_qbands))
+                def _(sb=sb, q=q):
+                    for p in range(4):
+                        cp = pltpu.make_async_copy(
+                            img_hbm.at[
+                                pl.program_id(0), p,
+                                pl.ds(pl.multiple_of(sb * TH, TH), TH),
+                                :,
+                            ],
+                            slabs[p].at[pl.ds(q * TH, TH)],
+                            sem,
+                        )
+                        cp.start()
+                        cp.wait()
+
+        c_lo_q = cb * TH - base  # lowest dq this chunk can serve
+        for ti, (y0f, x0f, af, bf) in enumerate(taps):
+            acc0, acc1, acc2 = accs[3 * ti : 3 * ti + 3]
+            for lo in range(nt_w):
+                d_lo_w, d_hi_w, t_lo, t_hi = wins[ti * nt_w + lo]
+                # clamp the window's dq range to what this chunk serves
+                dq_lo_c = jnp.maximum(
+                    lax.shift_right_arithmetic(d_lo_w, 2), c_lo_q)
+                dq_hi_c = jnp.minimum(
+                    lax.shift_right_arithmetic(d_hi_w, 2),
+                    c_lo_q + cap - 1)
+
+                @pl.when(dq_lo_c <= dq_hi_c)
+                def _(ti=ti, lo=lo, y0f=y0f, x0f=x0f, af=af, bf=bf,
+                      d_lo_w=d_lo_w, d_hi_w=d_hi_w, dq_lo_c=dq_lo_c,
+                      dq_hi_c=dq_hi_c, t_lo=t_lo, t_hi=t_hi,
+                      acc0=acc0, acc1=acc1, acc2=acc2):
+                    sl = slice(lo * LANE, (lo + 1) * LANE)
+                    y0 = y0f[:, sl]
+                    x0 = x0f[:, sl]
+                    y1 = jnp.minimum(y0 + 1, h_max)
+                    x1 = jnp.minimum(x0 + 1, w_max)
+                    alpha = af[:, sl]
+                    beta = bf[:, sl]
+                    w00 = (1.0 - alpha) * (1.0 - beta)
+                    w01 = alpha * (1.0 - beta)
+                    w10 = (1.0 - alpha) * beta
+                    w11 = alpha * beta
+                    dys0 = y0 - 4 * (srow + base)
+                    dys1 = y1 - 4 * (srow + base)
+                    zero = jnp.zeros_like(w00)
+
+                    def tile_body(t, accv):
+                        a0v, a1v, a2v = accv
+                        lx0 = x0 - t * LANE
+                        lx1 = x1 - t * LANE
+                        ok0 = (lx0 >= 0) & (lx0 < LANE)
+                        ok1 = (lx1 >= 0) & (lx1 < LANE)
+                        idx0 = jnp.clip(lx0, 0, LANE - 1)
+                        idx1 = jnp.clip(lx1, 0, LANE - 1)
+                        zp = jnp.zeros_like(zero)
+                        part = (zp, zp, zp)
+                        for p in range(4):
+                            block = slabs[p][:, pl.ds(t * LANE, LANE)]
+                            # dq values of this phase within the clamped
+                            # dy range: dy = 4*dq + p in [d_lo_w, d_hi_w]
+                            # intersected with the chunk's dq window
+                            dq_lo_p = jnp.maximum(
+                                lax.shift_right_arithmetic(
+                                    d_lo_w - p + 3, 2), dq_lo_c)
+                            dq_hi_p = jnp.minimum(
+                                lax.shift_right_arithmetic(
+                                    d_hi_w - p, 2), dq_hi_c)
+
+                            def dq_body(dq, prt, p=p, block=block):
+                                s0, s1, s2 = prt
+                                off = base + dq - cb * TH
+                                win = pltpu.roll(
+                                    block, shift=-off, axis=0)[:ts, :]
+                                g0 = jnp.take_along_axis(win, idx0, axis=1)
+                                g1 = jnp.take_along_axis(win, idx1, axis=1)
+                                dy = 4 * dq + p
+                                m0 = dys0 == dy
+                                m1 = dys1 == dy
+                                wg0 = (
+                                    jnp.where(m0 & ok0, w00, zero)
+                                    + jnp.where(m1 & ok0, w10, zero)
+                                )
+                                wg1 = (
+                                    jnp.where(m0 & ok1, w01, zero)
+                                    + jnp.where(m1 & ok1, w11, zero)
+                                )
+                                r0, g0c, b0c = unpack3(g0)
+                                r1, g1c, b1c = unpack3(g1)
+                                return (s0 + (r0 * wg0 + r1 * wg1),
+                                        s1 + (g0c * wg0 + g1c * wg1),
+                                        s2 + (b0c * wg0 + b1c * wg1))
+
+                            part = lax.fori_loop(
+                                dq_lo_p, dq_hi_p + 1, dq_body, part)
+                        p0, p1, p2 = part
+                        return (a0v + p0, a1v + p1, a2v + p2)
+
+                    a0v, a1v, a2v = lax.fori_loop(
+                        t_lo, t_hi + 1, tile_body,
+                        (acc0[:, sl], acc1[:, sl], acc2[:, sl]),
+                    )
+                    acc0[:, sl] = a0v
+                    acc1[:, sl] = a1v
+                    acc2[:, sl] = a2v
+
+        return carry
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _warp_kernel_u8_sheared_ds4_pair(
+        img_a_hbm, img_b_hbm,
+        fxa00, fya00, fxa01, fya01, fxa10, fya10, fxa11, fya11,
+        fxb00, fyb00, fxb01, fyb01, fxb10, fyb10, fxb11, fyb11,
+        oa0, oa1, oa2, ob0, ob1, ob2,
+        slab0, slab1, slab2, slab3,
+        a00_0, a00_1, a00_2, a01_0, a01_1, a01_2,
+        a10_0, a10_1, a10_2, a11_0, a11_1, a11_2,
+        sem, *,
+        nt_w: int, h_max: int, w_max: int, nbq: int, ts: int):
+    """Fused WarpDs4Pair on the sheared phase-split core, emitting the
+    FINAL 1/4-resolution planes: both tap-grid warps of a v4 block entry
+    (jax_ops._op_warp_ds4_pair) run as 4 tap-quadrant accumulations each,
+    and the epilogue replays ``_downsample_axis``'s exact 0.5/0.5 tap
+    averages (storage-dtype cast first, h-axis pair then w-axis pair) —
+    so the (h/2, w/2) warped tensor and its two downsample passes never
+    exist.  Bit-identical to warp_pallas_pair(abs_pos=True) +
+    _downsample_axis x2 (tools/warp_ds4_ab.py)."""
+    slabs = (slab0, slab1, slab2, slab3)
+    accs = (a00_0, a00_1, a00_2, a01_0, a01_1, a01_2,
+            a10_0, a10_1, a10_2, a11_0, a11_1, a11_2)
+    scale = jnp.float32(1.0 / 255.0)
+
+    def run_side(flow_refs, outs, img_hbm):
+        taps = []
+        for ta in range(2):
+            for tb in range(2):
+                fx_ref, fy_ref = flow_refs[2 * (2 * ta + tb):][:2]
+                taps.append(_ds4_tap_corners(
+                    fx_ref, fy_ref, ta=ta, tb=tb,
+                    h_max=h_max, w_max=w_max, ts=ts))
+        _ds4_sheared_accumulate(
+            img_hbm, taps, slabs, accs, sem,
+            nt_w=nt_w, h_max=h_max, w_max=w_max, nbq=nbq, ts=ts)
+        o0, o1, o2 = outs
+        dt = o0.dtype
+        half = jnp.asarray(0.5, dt)
+        for ch, o in enumerate((o0, o1, o2)):
+            v00 = (accs[0 + ch][...] * scale).astype(dt)   # tap (0,0)
+            v01 = (accs[3 + ch][...] * scale).astype(dt)   # tap (0,1)
+            v10 = (accs[6 + ch][...] * scale).astype(dt)   # tap (1,0)
+            v11 = (accs[9 + ch][...] * scale).astype(dt)   # tap (1,1)
+            u0 = v00 * half + v10 * half   # h-axis pair (rows 2i, 2i+1)
+            u1 = v01 * half + v11 * half
+            o[0] = u0 * half + u1 * half   # w-axis pair
+
+    run_side((fxa00, fya00, fxa01, fya01, fxa10, fya10, fxa11, fya11),
+             (oa0, oa1, oa2), img_a_hbm)
+    run_side((fxb00, fyb00, fxb01, fyb01, fxb10, fyb10, fxb11, fyb11),
+             (ob0, ob1, ob2), img_b_hbm)
+
+
 def _warp_kernel_u8_slab_tall_flow_pair(
         img_a_hbm, img_b_hbm, sxa_ref, sya_ref, sxb_ref, syb_ref,
         oa0, oa1, oa2, ob0, ob1, ob2,
@@ -2487,6 +2779,121 @@ def warp_pallas_pair(img_a, flow_a, img_b, flow_b, mask=None, *,
         if planar_out:
             return jnp.stack(three, axis=2)[:, :ho, :c, :wo]
         return jnp.stack(three, axis=-1)[:, :ho, :wo, :c]
+
+    return fin(outs[:3]), fin(outs[3:])
+
+
+@functools.partial(jax.jit, static_argnames=("planar",))
+def warp_pallas_ds4_pair(img_a, flow_a, img_b, flow_b, *,
+                         planar: bool = False):
+    """Both fused warp+1/4-downscale taps of a v4 block entry in ONE
+    pallas_call on the sheared phase-split core, emitting the FINAL
+    (B, H/4, W/4, C) downsampled pair directly.
+
+    vs the tall abs_pos pair (warp_pallas_pair(abs_pos=True) + two
+    ``_downsample_axis`` passes — the round-4 default): no (H/2, W/2)
+    absolute-position planes are ever materialized (the kernel derives
+    each tap's positions from the four sliced flow quadrants in-kernel),
+    the (H/2, W/2) warped tensors and both downsample passes disappear
+    (the epilogue replays their exact storage-dtype 0.5/0.5 averages).
+
+    MEASURED NET-NEGATIVE and off by default (tools/warp_ds4_ab.py, B=24
+    1080p, bit-exact at every row): 175 vs 49 ms smooth, 329 vs 144 ms
+    iid.  The stride-4 tap grid defeats the sheared structure twice over:
+    each output lane-tile spans ~4-5 source tiles (LANE outputs cover
+    4*LANE source columns, so gather density is ~25%), and the 4
+    tap-quadrant walks multiply the per-stripe fori_loop count ~12x over
+    the stride-1 sheared kernel — the scalar iteration overhead, not the
+    vector work, dominates.  The tall one-hot core (which serves 8
+    candidate source rows per visit) is the right shape for stride-4
+    spans and keeps the ds4 default.
+    Graph sites: /root/reference/models/rife-v4.6/flownet.param
+    warp_0/warp_1 -> cat_3 -> upsample_12 (and per-block siblings)."""
+    if planar:
+        b, h, c, w = img_a.shape
+    else:
+        b, h, w, c = img_a.shape
+    assert h % 4 == 0 and w % 4 == 0, "ds4 pair requires 4-aligned frames"
+    if c > 3:
+        raise ValueError(f"warp_pallas_ds4_pair supports <=3 channels, "
+                         f"got {c}")
+    out_dtype = img_a.dtype
+
+    def pack_words(image):
+        def chan(i):
+            plane = image[:, :, i, :] if planar else image[..., i]
+            return jnp.round(
+                jnp.clip(plane.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ).astype(jnp.int32)
+
+        words = chan(0)
+        for ci in range(1, c):
+            words = words | (chan(ci) << (8 * ci))
+        return words
+
+    import os
+
+    ho_f, wo_f = h // 4, w // 4
+    ts = max(TH, int(os.environ.get("RIFE_TPU_WARP_DS4_TS", "64")))
+    ts = min(_round_up(ts, TH), _round_up(ho_f, TH))
+    hp_o = _round_up(ho_f, ts)
+    wp_o = _round_up(wo_f, LANE)
+    nt_w = wp_o // LANE
+    nb_req = max(2 * ts // TH,
+                 int(os.environ.get("RIFE_TPU_WARP_DS4_NB", "4")))
+    nbq = 1 << (nb_req - 1).bit_length()
+
+    # phase-split u8-quad source: (B, 4, hq, wp), plane p = rows = p (mod 4)
+    hp = _round_up(h, 4 * TH)
+    wp = _round_up(w, LANE)
+
+    def split_phases(image):
+        words = pack_words(image)
+        words = jnp.pad(
+            words, ((0, 0), (0, hp - h), (0, wp - w)))
+        return words.reshape(b, hp // 4, 4, wp).transpose(0, 2, 1, 3)
+
+    def tap_flows(flow):
+        if planar:
+            fx, fy = flow[:, :, 0, :], flow[:, :, 1, :]
+        else:
+            fx, fy = flow[..., 0], flow[..., 1]
+        planes = []
+        for ta in range(2):
+            for tb in range(2):
+                for v in (fx, fy):
+                    q = v[:, 1 + ta :: 4, 1 + tb :: 4]
+                    planes.append(jnp.pad(
+                        q, ((0, 0), (0, hp_o - q.shape[1]),
+                            (0, wp_o - q.shape[2]))))
+        return planes
+
+    img_spec = pl.BlockSpec(memory_space=pl.ANY)
+    blk = pl.BlockSpec(
+        (1, ts, wp_o), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    grid = (b, hp_o // ts)
+    scratch = (
+        [pltpu.VMEM((nbq * TH, wp), jnp.int32) for _ in range(4)]
+        + [pltpu.VMEM((ts, wp_o), jnp.float32) for _ in range(12)]
+        + [pltpu.SemaphoreType.DMA]
+    )
+    kernel = functools.partial(
+        _warp_kernel_u8_sheared_ds4_pair,
+        nt_w=nt_w, h_max=h - 1, w_max=w - 1, nbq=nbq, ts=ts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[img_spec] * 2 + [blk] * 16,
+        out_specs=[blk] * 6,
+        out_shape=[jax.ShapeDtypeStruct((b, hp_o, wp_o), out_dtype)] * 6,
+        scratch_shapes=scratch,
+    )(split_phases(img_a), split_phases(img_b),
+      *tap_flows(flow_a), *tap_flows(flow_b))
+
+    def fin(three):
+        if planar:
+            return jnp.stack(three, axis=2)[:, :ho_f, :c, :wo_f]
+        return jnp.stack(three, axis=-1)[:, :ho_f, :wo_f, :c]
 
     return fin(outs[:3]), fin(outs[3:])
 

@@ -97,6 +97,26 @@ def test_warp_matches_shader_oracle():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_warp_at_batch_chunking_equivalent():
+    """`warp_at` processes big batches in sequential lax.map chunks (the
+    XLA-variant memory fix, BASELINE.md round-5); every op is
+    per-batch-element, so the chunked path matches per-element execution
+    up to XLA's per-program FMA re-association of the lerp chain (~1 ulp
+    f32).  8 x (1024x1024) trips the b>=8 & >=1M-pixel gate."""
+    b, h, w = 8, 1024, 1024
+    x = RNG.normal(size=(b, h, w, 1)).astype(np.float32)
+    sy = (RNG.normal(size=(b, h, w)) * 7 + h / 2).astype(np.float32)
+    sx = (RNG.normal(size=(b, h, w)) * 7 + w / 2).astype(np.float32)
+    xj, syj, sxj = jnp.asarray(x), jnp.asarray(sy), jnp.asarray(sx)
+    chunked = np.asarray(jax_ops.warp_at(xj, syj, sxj))
+    direct = np.concatenate([
+        np.asarray(jax_ops.warp_at(xj[i : i + 1], syj[i : i + 1],
+                                   sxj[i : i + 1]))
+        for i in range(b)
+    ])
+    np.testing.assert_allclose(chunked, direct, rtol=0, atol=1e-6)
+
+
 def test_warp_zero_flow_is_identity():
     x = RNG.normal(size=(1, 8, 8, 4)).astype(np.float32)
     flow = np.zeros((1, 8, 8, 2), np.float32)

@@ -339,3 +339,46 @@ def test_warp_pallas_slab_inflow_matches_driver_form():
             os.environ.pop("RIFE_TPU_WARP_INFLOW", None)
         else:
             os.environ["RIFE_TPU_WARP_INFLOW"] = prev
+
+
+def test_warp_ds4_pair_sheared_bit_exact_vs_composed():
+    """The sheared phase-split WarpDs4Pair kernel (off by default —
+    measured net-negative, BASELINE.md round-5) must stay BIT-identical
+    to the composed default it gates against: tall abs_pos pair on the
+    `_ds4_abs_positions` tap grid + the two `_downsample_axis` passes.
+    Shape is 4-aligned but lane/stripe-unaligned (final grid 6x25)."""
+    from rife_tpu.ops import jax_ops
+    from rife_tpu.ops.warp_pallas import warp_pallas_ds4_pair, warp_pallas_pair
+
+    b, h, w = 2, 24, 100
+    img_a = jnp.asarray(
+        RNG.integers(0, 256, (b, h, w, 3)).astype(np.float32) / 255.0
+    ).astype(jnp.bfloat16)
+    img_b = jnp.asarray(
+        RNG.integers(0, 256, (b, h, w, 3)).astype(np.float32) / 255.0
+    ).astype(jnp.bfloat16)
+    flow_a = jnp.asarray(
+        (RNG.normal(size=(b, h, w, 2)) * 5).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    flow_b = jnp.asarray(
+        (RNG.normal(size=(b, h, w, 2)) * 9).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    sxa, sya = jax_ops._ds4_abs_positions(img_a, flow_a)
+    sxb, syb = jax_ops._ds4_abs_positions(img_b, flow_b)
+    with pltpu.force_tpu_interpret_mode():
+        y_a, y_b = warp_pallas_pair.__wrapped__(
+            img_a, jnp.stack([sxa, sya], -1),
+            img_b, jnp.stack([sxb, syb], -1), abs_pos=True)
+    ds = jax_ops._downsample_axis
+    ref_a = ds(ds(y_a, 2, 1), 2, 2)
+    ref_b = ds(ds(y_b, 2, 1), 2, 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got_a, got_b = warp_pallas_ds4_pair.__wrapped__(
+            img_a, flow_a, img_b, flow_b)
+    assert got_a.shape == (b, h // 4, w // 4, 3)
+    np.testing.assert_array_equal(
+        np.asarray(got_a, np.float32), np.asarray(ref_a, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(got_b, np.float32), np.asarray(ref_b, np.float32))
